@@ -1,0 +1,100 @@
+"""Benchmark harness: runs the headline queries + the KG pipeline at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "triples_per_sec": ...}
+
+Each query is fully materialized via a count-style action (no collect of
+payload rows to the driver). See bench_scaling.py for the N-vs-4N
+(local[8] vs local[32]) scaling-efficiency report.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "j01_resolve_outpoint",
+    "j06_copart_pairs",
+    "j07_region_revenue",
+    "w01_top3_per_supplier",
+    "e01_hourly_event_rollup",
+    "t02_doc_quality",
+    "t05_ngram_jaccard_dups",
+    "t06_minhash_lsh_dups",
+    "t07_simhash_dups",
+    "t08_emb_top1_neighbor",
+    "kg02_doc_triples",
+    "kg05_entity_degree",
+    "kg10_transcript_triples",
+]
+
+
+def main() -> None:
+    from btc_blockchain_scanner_spark.session import get_spark
+    import btc_blockchain_scanner_spark.plans as plans
+
+    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=CPUS, app_name="bench")
+    qs = plans.queries()
+
+    # warm the JVM/codegen path once (excluded from timings)
+    qs["q01_pricing_summary"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    # KG pipeline end-to-end (extraction → linking → CC → materialize) on
+    # synthetic transcripts sized to the SF; reports triples/sec.
+    import shutil
+    import tempfile
+
+    from btc_blockchain_scanner_spark.kg import datagen, pipeline
+
+    n_convs = 1000 if "0.1" in SF_DIR else (200 if "0.01" in SF_DIR else 40)
+    out = tempfile.mkdtemp(prefix="bench_kg_")
+    try:
+        tr = datagen.transcripts(spark, n_convs=n_convs).cache()
+        tr.count()
+        t0 = time.perf_counter()
+        res = pipeline.run(spark, tr, out, n_parts=max(4, CPUS // 4))
+        kg_sec = time.perf_counter() - t0
+        triples = res.counters["triples_emitted"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    timings["kg_pipeline_e2e"] = round(kg_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "kg_triples": triples,
+                "triples_per_sec": round(triples / kg_sec, 1) if kg_sec > 0 else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Two-cluster-size scaling benchmark (BASELINE.json north_rule).
+
+Runs the SAME KG-extraction job on the SAME deterministic input at two
+parallelism levels — local[8] (N) and local[32] (4N), each in a fresh JVM —
+and reports throughput at both plus strong-scaling efficiency
+(= speedup / 4). Results land in BENCH_SCALING.md and are quoted in
+BASELINE.md.
+
+The measured job is the throughput-bound section of the pipeline
+(extraction → mentions/triples materialization over conv_id partitions);
+the iterative global stages (CC, linking) are fixed-point small-data work
+whose wall time is iteration-latency-bound, not throughput-bound, and are
+reported separately by bench.py.
+
+Usage: python bench_scaling.py [n_convs] (default 24000, ~250k turns)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+WORKER = r"""
+import json, sys, time, shutil, tempfile
+sys.path.insert(0, {repo!r})
+from btc_blockchain_scanner_spark.session import get_spark
+from btc_blockchain_scanner_spark.kg import datagen, extract
+from pyspark.sql import functions as F
+
+cpus = int(sys.argv[1]); n_convs = int(sys.argv[2])
+spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=cpus, app_name=f"scale{{cpus}}")
+tr = datagen.transcripts(spark, n_convs=n_convs, partitions=cpus * 2)
+out = tempfile.mkdtemp(prefix=f"scale{{cpus}}_")
+# warm-up: tiny job to pay JVM/codegen startup outside the timed section
+datagen.transcripts(spark, n_convs=10).count()
+t0 = time.perf_counter()
+ex = extract.extract(tr).persist()
+mentions = extract.mentions_from(ex)
+triples = extract.triples_from(ex)
+mentions.write.mode("overwrite").parquet(out + "/mentions")
+triples.write.mode("overwrite").parquet(out + "/triples")
+wall = time.perf_counter() - t0
+n_triples = spark.read.parquet(out + "/triples").count()
+n_turns = spark.read.parquet(out + "/mentions").select("conv_id", "turn_idx").distinct().count()
+shutil.rmtree(out, ignore_errors=True)
+print(json.dumps({{"cpus": cpus, "wall_sec": round(wall, 2), "triples": n_triples,
+                   "turns_with_mentions": n_turns,
+                   "triples_per_sec": round(n_triples / wall, 1)}}))
+spark.stop()
+"""
+
+
+def run_one(cpus: int, n_convs: int) -> dict:
+    code = WORKER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cpus), str(n_convs)],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 24000
+    lo = run_one(8, n_convs)
+    hi = run_one(32, n_convs)
+    speedup = lo["wall_sec"] / hi["wall_sec"]
+    efficiency = speedup / 4.0
+    report = {
+        "n_convs": n_convs,
+        "N(local[8])": lo,
+        "4N(local[32])": hi,
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "pass": efficiency >= 0.8,
+    }
+    print(json.dumps(report))
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+        f.write(
+            "# Scaling benchmark — N vs 4N parallelism (north_rule evidence)\n\n"
+            "Same job (Arrow-UDF triple extraction + mentions/triples parquet\n"
+            "materialization), same deterministic input, fresh JVM per level.\n"
+            "local[8] stands in for N executors, local[32] for 4N (sandbox has\n"
+            "no real cluster; see BASELINE.md).\n\n"
+            f"- input: {n_convs} conversations\n"
+            f"- local[8]:  wall {lo['wall_sec']} s, {lo['triples_per_sec']} triples/s\n"
+            f"- local[32]: wall {hi['wall_sec']} s, {hi['triples_per_sec']} triples/s\n"
+            f"- speedup: {speedup:.2f}x, scaling efficiency: {efficiency:.3f} "
+            f"(target >= 0.8: {'PASS' if efficiency >= 0.8 else 'FAIL'})\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

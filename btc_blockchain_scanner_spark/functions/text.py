@@ -73,10 +73,14 @@ def quality_score(text: Column) -> Column:
 
 def lang_counts(text: Column) -> dict[str, Column]:
     toks = tokens(text)
-    return {
-        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
-        for lang, markers in LANG_MARKERS.items()
-    }
+
+    # closure factory keeps the lambda unary (PySpark derives higher-order-
+    # function arity from the Python signature — a `m=markers` default
+    # would make it binary and fail analysis)
+    def counter(markers: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    return {lang: counter(markers) for lang, markers in LANG_MARKERS.items()}
 
 
 def lang_id(text: Column) -> Column:
@@ -98,11 +102,15 @@ def content_hash(text: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as strings (for Jaccard / MinHash)."""
+    """Distinct word n-gram shingles as strings (for Jaccard / MinHash).
+    Empty array when the text has fewer than n tokens (note: a bare
+    ``sequence(0, k-n)`` would generate a DESCENDING sequence for k<n)."""
     toks = tokens(text)
     k = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(-1)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(0), k - n), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)

@@ -1,0 +1,175 @@
+"""End-to-end KG construction pipeline with resumable per-partition runs.
+
+Mirrors the reference's `update` → `update_wallets` → `load_neo4j` command
+sequence (SURVEY.md §3) as one orchestrated Spark job graph:
+
+    transcripts ──extract(Arrow UDF)──▶ mentions, raw triples   [per-partition]
+    mentions ──link (broadcast dict + LSH)──▶ entities, linked  [global]
+    linked  ──CC canonicalize──▶ canon_map                       [global]
+    triples+entities ──materialize──▶ nodes, edges               [global]
+    counters ──▶ checkpoints manifest                            [per-partition]
+
+Partitioning: partition_key = pmod(xxhash64(conv_id), n_parts) — the
+conv_id-range analog of the reference's block-height batches. The
+extraction stage writes mentions/triples with dynamic partition overwrite,
+so a killed run resumes by recomputing only partitions missing from the
+manifest and yields byte-identical output (M4/M5 semantics; tested in
+tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import canonicalize, extract, link, materialize
+from .checkpoints import Manifest
+
+
+def with_partition_key(df: DataFrame, n_parts: int) -> DataFrame:
+    return df.withColumn(
+        "partition_key", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_parts)).cast("string")
+    )
+
+
+@dataclass
+class PipelineResult:
+    out_dir: str
+    counters: dict
+    processed_partitions: list[str]
+
+
+def _write_partitioned(df: DataFrame, path: str) -> None:
+    (
+        df.repartition("partition_key")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("partition_key")
+        .parquet(path)
+    )
+
+
+def run(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    n_parts: int = 8,
+    alias_dict: DataFrame | None = None,
+    fail_after_extract_partitions: set[str] | None = None,
+) -> PipelineResult:
+    """Run (or resume) the pipeline.
+
+    ``fail_after_extract_partitions`` is a test hook (dirty-tail fixture,
+    FIXTURES.md §3): when set, extraction only covers those partitions and
+    the run aborts before linking — simulating a mid-job kill.
+    """
+    alias_dict = alias_dict if alias_dict is not None else link.default_alias_dict(spark)
+    manifest = Manifest(spark, f"{out_dir}/checkpoints")
+    turns = with_partition_key(transcripts, n_parts)
+
+    done = manifest.done_partitions()
+    all_parts = {str(i) for i in range(n_parts)}
+    pending = sorted(all_parts - done, key=int)
+    if fail_after_extract_partitions is not None:
+        pending = sorted(set(pending) & fail_after_extract_partitions, key=int)
+
+    mentions_path = f"{out_dir}/mentions"
+    triples_path = f"{out_dir}/triples"
+
+    if pending:
+        batch = turns.where(F.col("partition_key").isin(pending))
+        extracted = extract.extract(batch)
+        # One pass over the UDF output for both tables: persist the struct.
+        extracted = extracted.persist()
+        mentions = extract.mentions_from(extracted).withColumn(
+            "partition_key", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_parts)).cast("string")
+        )
+        triples = extract.triples_from(extracted).withColumn(
+            "partition_key", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_parts)).cast("string")
+        )
+        _write_partitioned(mentions, mentions_path)
+        _write_partitioned(triples, triples_path)
+
+        if fail_after_extract_partitions is not None:
+            extracted.unpersist()
+            raise RuntimeError("simulated mid-run failure (dirty-tail test hook)")
+
+        # per-partition lineage counters (A8 analog: DbUpdate.printStats) —
+        # ONE pass over the persisted extraction; hash-empty pending
+        # partitions still get a manifest row (left join against the
+        # pending-key list) so resume doesn't re-queue them forever.
+        pend_df = spark.createDataFrame([(p,) for p in pending], "partition_key string")
+        per_part = extracted.groupBy("partition_key").agg(
+            F.count("*").alias("turns_scanned"),
+            F.sum(F.size("ex.mentions")).alias("mentions_found"),
+            F.sum(F.size("ex.triples")).alias("triples_emitted"),
+        )
+        counters = pend_df.join(per_part, "partition_key", "left").select(
+            "partition_key",
+            F.lit("batch-1").alias("last_done"),
+            F.coalesce(F.col("turns_scanned"), F.lit(0)).cast("long").alias("turns_scanned"),
+            F.coalesce(F.col("mentions_found"), F.lit(0)).cast("long").alias("mentions_found"),
+            F.coalesce(F.col("triples_emitted"), F.lit(0)).cast("long").alias("triples_emitted"),
+        )
+        manifest.record(counters)
+        extracted.unpersist()
+
+    # Global stages (linking, canonicalization, materialization) recompute
+    # over all extracted data — idempotent, like the reference's
+    # update_wallets full sweep (SURVEY.md §3.2).
+    mentions_all = spark.read.parquet(mentions_path)
+    triples_all = spark.read.parquet(triples_path)
+
+    linked_mentions, entities = link.link_mentions(mentions_all, alias_dict, spark=spark)
+    entities.write.mode("overwrite").parquet(f"{out_dir}/entities")
+    entities = spark.read.parquet(f"{out_dir}/entities")
+
+    surface_to_id = linked_mentions.select("surface", "entity_id").distinct()
+    linked_triples = (
+        triples_all.join(
+            F.broadcast(surface_to_id.withColumnRenamed("surface", "subj_surface").withColumnRenamed("entity_id", "subj_entity")),
+            "subj_surface",
+        )
+        .join(
+            F.broadcast(surface_to_id.withColumnRenamed("surface", "obj_surface").withColumnRenamed("entity_id", "obj_entity")),
+            "obj_surface",
+        )
+    )
+
+    edges_sim = canonicalize.comention_edges(linked_mentions)
+    canon = canonicalize.canon_map(entities, edges_sim)
+    canon.write.mode("overwrite").parquet(f"{out_dir}/canon_map")
+    canon = spark.read.parquet(f"{out_dir}/canon_map")
+
+    nodes = materialize.build_nodes(entities, canon)
+    edges = materialize.build_edges(linked_triples)
+    nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
+    edges.write.mode("overwrite").parquet(f"{out_dir}/edges")
+
+    # lineage totals come from the manifest (no recompute of the input);
+    # table counts are cheap parquet-footer scans.
+    totals = (
+        manifest.read()
+        .agg(
+            F.sum("turns_scanned").alias("t"),
+            F.sum("mentions_found").alias("m"),
+            F.sum("triples_emitted").alias("tr"),
+        )
+        .collect()[0]
+    )
+    counters_out = {
+        "turns_scanned": totals["t"] or 0,
+        "mentions_found": totals["m"] or 0,
+        "triples_emitted": totals["tr"] or 0,
+        "entities": entities.count(),
+        "nodes": spark.read.parquet(f"{out_dir}/nodes").count(),
+        "edges": spark.read.parquet(f"{out_dir}/edges").count(),
+    }
+    return PipelineResult(out_dir=out_dir, counters=counters_out, processed_partitions=pending)
+
+
+def read_table(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, name))

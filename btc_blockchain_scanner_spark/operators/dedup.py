@@ -1,0 +1,202 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup. Everything except candidate *verification* is a
+single shuffle; nothing is quadratic in the corpus.
+
+Reference analog: in-queue dup checks before writes (DbUpdateAddressOne
+addMap containment) and the dedup write of graph nodes (SURVEY.md §2.1
+S12/S13) — generalized here to content-level near-duplication.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from . import lsh
+
+
+# -- exact -------------------------------------------------------------------
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group byte-identical texts by md5; emit (content_md5, n_docs, keep_id)
+    for groups with >1 member. keep_id = min id (deterministic winner)."""
+    return (
+        docs.select(F.col(id_col), TX.content_hash(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row (min id) per distinct text. row_number over the content
+    hash — the standard pre-write compaction."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(TX.content_hash(F.col(text_col))).orderBy(F.col(id_col))
+    return docs.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+# -- n-gram Jaccard ----------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id_a, id_b, jacc) for pairs with word-n-gram Jaccard >= threshold.
+
+    Scale path: candidates come from sharing at least one shingle (explode →
+    self-join on the shingle → distinct pairs), never a full cross join;
+    then exact Jaccard verifies. Shingles shared by more than
+    ``max_shingle_freq`` docs are dropped from candidate generation (they
+    cannot be discriminative and they quadratically blow up hub shingles) —
+    pairs only reachable through ultra-common shingles are, by definition,
+    connected through >=1 rarer shingle whenever they are near-duplicates
+    at any meaningful threshold.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("_id"), TX.word_shingles(F.col(text_col), n).alias("_sh")
+    )
+    sh = sh.where(F.size("_sh") > 0)
+    exploded = sh.select("_id", F.explode("_sh").alias("_g"))
+    # drop non-discriminative hub shingles (frequency cap = 1000 docs)
+    freq = exploded.groupBy("_g").agg(F.count("*").alias("_f"))
+    exploded = exploded.join(freq.where(F.col("_f") <= 1000), "_g")
+    cand = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", lsh.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jacc"))
+        .where(F.col("jacc") >= threshold)
+    )
+    return verified
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    Same output contract as :func:`ngram_jaccard_pairs` but candidate
+    generation is O(docs x bands) — the 100 TB path. With 32 perms / 8
+    bands (r=4), P(candidate) = 1-(1-j^4)^8: ~0.97 at j=0.7, ~0.22 at
+    j=0.3 — recall at the threshold comes from the verify step pruning
+    false positives, not from banding alone.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("_id"), TX.word_shingles(F.col(text_col), n).alias("_sh")
+    ).where(F.size("_sh") > 0)
+    cand = lsh.lsh_candidate_pairs(sh, "_id", "_sh", num_perm, num_bands)
+    verified = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .select("id_a", "id_b", lsh.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jacc"))
+        .where(F.col("jacc") >= threshold)
+    )
+    return verified
+
+
+# -- SimHash -----------------------------------------------------------------
+
+
+def simhash(text_col: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over word tokens: bit k of the signature is the sign
+    of sum over tokens of (+1/-1 by bit k of xxhash64(token)).
+
+    Pure higher-order-function implementation (no UDF): aggregate a
+    per-token array of hash longs into per-bit counters.
+    """
+    toks = TX.tokens(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # Per bit k (python-level loop — shift amounts must be literals): the
+    # vote is (#tokens with bit set) - (#tokens with bit clear).
+    # bit-test via mask (shift functions reject lambda variables); a closure
+    # factory keeps the lambda binary — PySpark derives HOF arity from the
+    # Python signature, so a `m=mask` default would break it.
+    def vote_fn(m: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(m).cast("long")) != 0, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for k in range(bits):
+        # bit 63 is the sign bit of a signed long → two's-complement literal
+        mask = -(1 << 63) if k == 63 else (1 << k)
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(mask))
+        sig = sig + F.when(vote > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def simhash_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    Scale path: 4-block banding (Charikar/Manku) — split the 64-bit
+    signature into max_hamming+1 16-bit blocks; any pair within distance
+    max_hamming agrees exactly on >=1 block (pigeonhole), so candidates
+    come from a groupBy on (block_idx, block_value), then popcount
+    verifies. No quadratic pass.
+    """
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    sigs = docs.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sig"))
+    blocks = sigs.select(
+        "_id",
+        "_sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("_sig"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("_blk_idx", "_blk"),
+    )
+    cand = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a._blk_idx") == F.col("b._blk_idx"))
+            & (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("sig_a"),
+            F.col("b._sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; LSH-bucketed (random
+hyperplane / SimHash-for-vectors) as the scale path. Dot products are
+higher-order-function folds (JVM codegen) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 1,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors (self-matches excluded).
+
+    Scale: broadcast the (smaller) query side and stream the corpus — one
+    pass, no shuffle until the per-query top-k window. Exact but O(|Q|x|C|);
+    use :func:`lsh_topk` when both sides are large.
+    """
+    q = queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("q_vec"))
+    c = corpus.select(F.col(c_id).alias("c_id"), F.col(c_vec).alias("c_vec"))
+    scored = F.broadcast(q).crossJoin(c).where(F.col("q_id") != F.col("c_id"))
+    scored = scored.select(
+        "q_id", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplane_sig(vec: Column, num_planes: int, dim: int, seed: int = 7) -> Column:
+    """Random-hyperplane LSH signature: bit j = sign(<v, r_j>) where r_j is a
+    deterministic pseudo-random ±1 vector derived from xxhash64(seed,j,i)."""
+    sig = F.lit(0).cast("long")
+    for j in range(num_planes):
+        # ±1 pattern per dimension, folded against the vector
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x.cast("double")
+                * F.when(F.xxhash64(F.lit(seed), F.lit(j), i) % 2 == 0, 1.0).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def _multi_table_buckets(
+    df: DataFrame, id_col: str, vec_col: str, num_tables: int, planes_per_table: int, dim: int
+) -> DataFrame:
+    """(id, vec) → exploded (table_idx, bucket) rows — one signature per
+    hash table, each table using an independent plane set (seed = table
+    index). Multi-table OR-amplification is what makes hyperplane LSH
+    recall tunable on weakly-clustered data: P(candidate) =
+    1 - (1 - p^planes)^tables."""
+    buckets = F.array(
+        *[
+            _hyperplane_sig(F.col(vec_col), planes_per_table, dim, seed=1000 + t)
+            for t in range(num_tables)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.posexplode(buckets).alias("_tbl", "_bucket"),
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 1,
+    num_tables: int = 12,
+    planes_per_table: int = 5,
+    dim: int = 64,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share a bucket in ANY of the hash
+    tables; exact cosine re-ranks the deduplicated candidate set.
+
+    Scale: one equi-join shuffle on (table, bucket) instead of a cross
+    join. Cost scales with bucket collision counts, tuned by
+    planes_per_table (more planes → smaller buckets → fewer candidates,
+    lower recall) and num_tables (OR-amplified recall)."""
+    q = _multi_table_buckets(queries, q_id, q_vec, num_tables, planes_per_table, dim)
+    c = _multi_table_buckets(corpus, c_id, c_vec, num_tables, planes_per_table, dim)
+    cand = (
+        q.join(
+            c.select(
+                F.col("_id").alias("c_id"),
+                F.col("_vec").alias("c_vec"),
+                F.col("_tbl"),
+                F.col("_bucket"),
+            ),
+            ["_tbl", "_bucket"],
+        )
+        .where(F.col("_id") != F.col("c_id"))
+        .select(F.col("_id").alias("q_id"), F.col("_vec").alias("q_vec"), "c_id", "c_vec")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = cand.select("q_id", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )

@@ -1,4 +1,236 @@
-"""KG-construction queries (mentions → triples → linking → components).
+"""KG-construction queries for the driver's correctness gate.
 
-Populated in build step 2-3 (SURVEY.md §7.1-7.2).
+Two families:
+
+* ``kg01``-``kg05`` run the KG operator semantics (mention detection, triple
+  extraction, deterministic entity-id assignment, connected-components
+  canonicalization, degree) over the **documents** table treated as
+  single-turn conversations — each has an exact DuckDB oracle, including a
+  WITH RECURSIVE transitive-closure oracle for the CC stage.
+* ``kg10``+ run the real transcript pipeline pieces (Arrow-UDF extraction,
+  linking) over the deterministic synthetic transcripts — not
+  SQL-expressible (pandas UDF / iterative), so rows-only checks here and
+  exact oracle comparison in tests/.
+
+Doc-domain closed dictionary (subset of the generator vocabulary of the
+provided documents table): entities and predicates below.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..kg import datagen, extract
+from ..operators.cc import connected_components, pair_edges_from_groups
+from ..sources.tables import load
+from .registry import query
+
+DOC_ENTITIES = ("spark", "table", "window", "stream", "batch", "query", "vector", "column", "row", "data")
+DOC_PREDS = ("join", "scan", "merge", "sort", "filter", "group", "hash", "agg")
+
+_D_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_D_ENTS = "[" + ",".join(f"'{e}'" for e in DOC_ENTITIES) + "]"
+_D_PREDS = "[" + ",".join(f"'{p}'" for p in DOC_PREDS) + "]"
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != "")
+    return d.select("doc_id", toks.alias("toks"))
+
+
+def _doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token (ENT, PRED, ENT) patterns per document."""
+    t = _doc_tokens(spark, sf_dir)
+    k = F.size("toks")
+    idx = F.when(k >= 3, F.sequence(F.lit(1), k - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    tok = lambda off: F.element_at(F.col("toks"), F.col("i") + off)  # noqa: E731
+    return (
+        t.select("doc_id", F.explode(idx).alias("i"), "toks")
+        .where(
+            tok(0).isin(*DOC_ENTITIES) & tok(1).isin(*DOC_PREDS) & tok(2).isin(*DOC_ENTITIES)
+        )
+        .select("doc_id", tok(0).alias("subj"), tok(1).alias("pred"), tok(2).alias("obj"))
+    )
+
+
+_ORACLE_TRIPLES = f"""
+    WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+    tr AS (
+      SELECT doc_id, toks[i] AS subj, toks[i+1] AS pred, toks[i+2] AS obj
+      FROM t, unnest(range(1, greatest(len(toks) - 1, 1))) AS u(i)
+      WHERE list_contains({_D_ENTS}, toks[i])
+        AND list_contains({_D_PREDS}, toks[i+1])
+        AND list_contains({_D_ENTS}, toks[i+2]))
+"""
+
+
+@query(
+    "kg01_doc_mentions",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+    SELECT doc_id, tok AS surface, COUNT(*) AS n
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+    WHERE list_contains({_D_ENTS}, tok)
+    GROUP BY doc_id, tok
+    """,
+)
+def kg01_doc_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary mention detection (reference analog F3: script→address
+    extraction per output, BJOutput._getAddress) — explode + dictionary
+    filter, fully codegen'd."""
+    t = _doc_tokens(spark, sf_dir)
+    return (
+        t.select("doc_id", F.explode("toks").alias("surface"))
+        .where(F.col("surface").isin(*DOC_ENTITIES))
+        .groupBy("doc_id", "surface")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "kg02_doc_triples",
+    oracle=_ORACLE_TRIPLES + """
+    SELECT doc_id, subj, pred, obj, COUNT(*) AS n
+    FROM tr GROUP BY doc_id, subj, pred, obj
+    """,
+)
+def kg02_doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(subj, pred, obj) adjacent-token triple extraction — the SQL-visible
+    twin of the transcript pipeline's Arrow-UDF extractor (SURVEY.md
+    §3.1)."""
+    return (
+        _doc_triples(spark, sf_dir)
+        .groupBy("doc_id", "subj", "pred", "obj")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "kg03_entity_ids",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+    s AS (SELECT DISTINCT tok AS surface
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+          WHERE list_contains({_D_ENTS}, tok))
+    SELECT surface, CAST(dense_rank() OVER (ORDER BY md5(surface)) AS INT) AS entity_id
+    FROM s
+    """,
+)
+def kg03_entity_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dense entity-id assignment: dense_rank over md5(key) —
+    the get-or-create id rule (M1, DbCachedAddressOne.java:91-115) with
+    no monotonically_increasing_id anywhere."""
+    t = _doc_tokens(spark, sf_dir)
+    surfaces = (
+        t.select(F.explode("toks").alias("surface"))
+        .where(F.col("surface").isin(*DOC_ENTITIES))
+        .distinct()
+    )
+    w = W.orderBy(F.md5(F.col("surface")))
+    return surfaces.select("surface", F.dense_rank().over(w).cast("int").alias("entity_id"))
+
+
+@query(
+    "kg04_canonical_components",
+    oracle=_ORACLE_TRIPLES.replace("WITH t AS", "WITH RECURSIVE t AS", 1) + f""",
+    ids AS (SELECT DISTINCT tok AS surface,
+                   CAST(dense_rank() OVER (ORDER BY md5(tok)) AS BIGINT) AS id
+            FROM (SELECT unnest({_D_ENTS}) AS tok)
+            WHERE tok IN (SELECT subj FROM tr UNION SELECT obj FROM tr)),
+    e0 AS (SELECT DISTINCT s.id AS src, o.id AS dst
+           FROM tr JOIN ids s ON s.surface = tr.subj JOIN ids o ON o.surface = tr.obj
+           WHERE s.id <> o.id),
+    und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    reach(src, dst) AS (
+      SELECT id, id FROM ids
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst)
+    SELECT i.surface, CAST(MIN(r.dst) AS INT) AS canon_id
+    FROM ids i JOIN reach r ON r.src = i.id
+    GROUP BY i.surface
+    """,
+)
+def kg04_canonical_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization: connected components over the triple co-occurrence
+    graph, label = min entity id (M2 merge-into-min rule). The Spark side is
+    the iterative min-label propagation (operators/cc.py); the oracle is an
+    independent WITH RECURSIVE transitive closure."""
+    tr = _doc_triples(spark, sf_dir)
+    surfaces = (
+        tr.select(F.col("subj").alias("surface"))
+        .unionByName(tr.select(F.col("obj").alias("surface")))
+        .distinct()
+    )
+    w = W.orderBy(F.md5(F.col("surface")))
+    ids = surfaces.select("surface", F.dense_rank().over(w).cast("long").alias("id"))
+    edges = (
+        tr.join(ids.withColumnRenamed("surface", "subj").withColumnRenamed("id", "src"), "subj")
+        .join(ids.withColumnRenamed("surface", "obj").withColumnRenamed("id", "dst"), "obj")
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    comp = connected_components(edges, "src", "dst")
+    return ids.join(comp, ids.id == comp.node, "left").select(
+        "surface",
+        F.coalesce(F.col("component"), F.col("id")).cast("int").alias("canon_id"),
+    )
+
+
+@query(
+    "kg05_entity_degree",
+    oracle=_ORACLE_TRIPLES + """
+    SELECT surface, CAST(SUM(n) AS BIGINT) AS degree FROM (
+      SELECT subj AS surface, COUNT(*) AS n FROM tr GROUP BY subj
+      UNION ALL
+      SELECT obj AS surface, COUNT(*) AS n FROM tr GROUP BY obj)
+    GROUP BY surface
+    """,
+)
+def kg05_entity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: entity degree over the materialized triple edges — the
+    'top addresses by activity' analog (SURVEY.md §7.1 step 5)."""
+    tr = _doc_triples(spark, sf_dir)
+    outd = tr.groupBy(F.col("subj").alias("surface")).agg(F.count("*").alias("n"))
+    ind = tr.groupBy(F.col("obj").alias("surface")).agg(F.count("*").alias("n"))
+    return (
+        outd.unionByName(ind)
+        .groupBy("surface")
+        .agg(F.sum("n").cast("long").alias("degree"))
+    )
+
+
+def _sf_scale(sf_dir: str) -> int:
+    if "0.001" in sf_dir:
+        return 40
+    if "0.01" in sf_dir:
+        return 200
+    return 1000
+
+
+@query("kg10_transcript_triples")  # rows-only: Arrow pandas UDF extraction
+def kg10_transcript_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple extraction over the deterministic synthetic transcripts via
+    the Arrow-vectorized pandas UDF (the production extraction path;
+    exact-oracle-tested in tests/test_datagen_extract.py)."""
+    tr = datagen.transcripts(spark, n_convs=_sf_scale(sf_dir))
+    ex = extract.extract(tr)
+    return extract.triples_from(ex)
+
+
+@query("kg11_transcript_canon")  # rows-only: iterative CC
+def kg11_transcript_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity canon map over synthetic transcripts: link mentions (broadcast
+    alias dict + LSH fallback), co-mention edges, iterative CC."""
+    from ..kg import canonicalize, link
+
+    tr = datagen.transcripts(spark, n_convs=_sf_scale(sf_dir))
+    mentions = extract.mentions_from(extract.extract(tr))
+    linked, entities = link.link_mentions(mentions, link.default_alias_dict(spark), spark=spark)
+    edges = canonicalize.comention_edges(linked)
+    return canonicalize.canon_map(entities, edges)

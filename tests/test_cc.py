@@ -1,0 +1,75 @@
+"""Connected components on known topologies (FIXTURES.md §3: chains, stars
+with hub skew, disjoint cliques, cross-batch merges)."""
+
+from pyspark.sql import functions as F
+
+from btc_blockchain_scanner_spark.operators.cc import (
+    connected_components,
+    pair_edges_from_groups,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        (r.node, r.component)
+        for r in connected_components(df).collect()
+    }
+
+
+def test_chain(spark):
+    # 1-2-3-4-5 chain → all label 1
+    got = _cc(spark, [(i, i + 1) for i in range(1, 5)])
+    assert got == {(i, 1) for i in range(1, 6)}
+
+
+def test_star_hub(spark):
+    # hub 100 connected to 101..160 (degree-60 hub, skew shape)
+    got = _cc(spark, [(100, i) for i in range(101, 161)])
+    assert got == {(i, 100) for i in range(100, 161)}
+
+
+def test_disjoint_cliques(spark):
+    edges = []
+    for base in (10, 20, 30):
+        members = list(range(base, base + 4))
+        edges += [(a, b) for a in members for b in members if a < b]
+    got = _cc(spark, edges)
+    expect = {(m, base) for base in (10, 20, 30) for m in range(base, base + 4)}
+    assert got == expect
+
+
+def test_two_components_merge_via_bridge(spark):
+    # components {1,2} and {5,6} merge when bridge (2,5) appears —
+    # the cross-batch merge fixpoint (RunUpdateWallets2 semantics)
+    before = _cc(spark, [(1, 2), (5, 6)])
+    assert before == {(1, 1), (2, 1), (5, 5), (6, 5)}
+    after = _cc(spark, [(1, 2), (5, 6), (2, 5)])
+    assert after == {(1, 1), (2, 1), (5, 1), (6, 1)}
+
+
+def test_pair_edges_chain_equivalence(spark):
+    # group incidences: group g1 has members {3,1,2}, g2 has {7}, g3 {8,9}
+    df = spark.createDataFrame(
+        [("g1", 3), ("g1", 1), ("g1", 2), ("g2", 7), ("g3", 8), ("g3", 9), ("g1", 1)],
+        "g string, m long",
+    )
+    edges = pair_edges_from_groups(df, "g", "m")
+    got = {(r.src, r.dst) for r in edges.collect()}
+    assert got == {(1, 2), (2, 3), (8, 9)}
+    # connectivity equivalent to the clique
+    comp = _cc(spark, list(got))
+    assert comp == {(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)}
+
+
+def test_cc_deterministic_across_shuffle_partitions(spark):
+    edges = [(i, i + 1) for i in range(1, 50)] + [(100 + i, 100) for i in range(1, 40)]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _cc(spark, edges)
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = _cc(spark, edges)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b

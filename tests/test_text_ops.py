@@ -1,0 +1,73 @@
+"""Text-pipeline operators: exact dedup, MinHash-LSH recall vs exact
+Jaccard, SimHash, ANN recall vs brute force."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from btc_blockchain_scanner_spark.operators import dedup, similarity
+from btc_blockchain_scanner_spark.sources.tables import load
+
+
+def docs_df(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the sun sets "
+        "behind tall mountains and rivers flow quietly through green valleys "
+        "carrying cold water toward the distant northern sea"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),  # near dup: one token changed
+        (4, "completely different content about spark and iceberg tables"),
+        (5, "spark and iceberg tables are completely different content about"),
+        (6, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    d = docs_df(spark)
+    groups = dedup.exact_dup_groups(d).collect()
+    assert len(groups) == 1 and groups[0].n_docs == 2 and groups[0].keep_id == 1
+    kept = dedup.dedup_exact(d)
+    assert kept.count() == 5
+    assert kept.where(F.col("doc_id") == 2).count() == 0
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, n=3, num_perm=32, num_bands=8, threshold=0.5).collect()
+    }
+    # verification step guarantees precision == 1.0 (approx ⊆ exact)
+    assert approx <= exact
+    # banding with r=4,b=8 keeps recall high at j>=0.5
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.9, (recall, len(exact))
+
+
+def test_simhash_finds_near_dups(spark):
+    d = docs_df(spark)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_dup_pairs(d, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0  # identical text → identical signature
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup within hamming 3
+    assert (1, 4) not in pairs
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 30)
+    exact = {r.q_id: (r.c_id, r.cos_sim) for r in similarity.brute_force_topk(q, emb, k=1).collect()}
+    approx = {r.q_id: (r.c_id, r.cos_sim) for r in similarity.lsh_topk(q, emb, k=1).collect()}
+    hits = sum(1 for k, v in exact.items() if approx.get(k, (None,))[0] == v[0])
+    assert hits / len(exact) >= 0.5, hits  # multi-table ANN: top-1 agreement
+    # every query gets a neighbor, and its cosine is a decent approximation
+    assert len(approx) == len(exact)
+    ratio = sum(approx[k][1] / v[1] for k, v in exact.items() if v[1] > 0) / len(exact)
+    assert ratio >= 0.8, ratio
