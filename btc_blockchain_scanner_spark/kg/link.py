@@ -70,7 +70,18 @@ def resolve_surfaces(
     exact = s.join(F.broadcast(alias_dict), "surface", "left").select(
         "surface", F.col("entity_key").alias("exact_key")
     )
+    exact = exact.localCheckpoint(eager=True)  # tiny; reused by 3 branches
     unmatched = exact.where(F.col("exact_key").isNull()).select("surface")
+
+    if unmatched.limit(1).count() == 0:
+        # common fast path: every surface hit the dictionary — skip the
+        # whole LSH candidate machinery (reference analog: cache hit rate
+        # ~100% after warmup, RunNeoLoader.java:211-217)
+        return exact.select(
+            "surface",
+            F.col("exact_key").alias("entity_key"),
+            F.lit("exact").alias("match_type"),
+        )
 
     dict_side = alias_dict.select(
         F.concat(F.lit("d:"), F.col("surface")).alias("_id"),

@@ -65,7 +65,9 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col(id_col).alias("_id"), TX.word_shingles(F.col(text_col), n).alias("_sh")
     )
-    sh = sh.where(F.size("_sh") > 0)
+    # reused by candidate generation AND both sides of the verify join —
+    # persist so the shingle expression runs once per row
+    sh = sh.where(F.size("_sh") > 0).persist()
     exploded = sh.select("_id", F.explode("_sh").alias("_g"))
     # drop non-discriminative hub shingles (frequency cap = 1000 docs)
     freq = exploded.groupBy("_g").agg(F.count("*").alias("_f"))
@@ -105,9 +107,11 @@ def minhash_lsh_pairs(
     j=0.3 — recall at the threshold comes from the verify step pruning
     false positives, not from banding alone.
     """
-    sh = docs.select(
-        F.col(id_col).alias("_id"), TX.word_shingles(F.col(text_col), n).alias("_sh")
-    ).where(F.size("_sh") > 0)
+    sh = (
+        docs.select(F.col(id_col).alias("_id"), TX.word_shingles(F.col(text_col), n).alias("_sh"))
+        .where(F.size("_sh") > 0)
+        .persist()  # feeds signature generation + both verify joins
+    )
     cand = lsh.lsh_candidate_pairs(sh, "_id", "_sh", num_perm, num_bands)
     verified = (
         cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
@@ -125,11 +129,18 @@ def simhash(text_col: Column, bits: int = 64) -> Column:
     """64-bit SimHash over word tokens: bit k of the signature is the sign
     of sum over tokens of (+1/-1 by bit k of xxhash64(token)).
 
-    Pure higher-order-function implementation (no UDF): aggregate a
-    per-token array of hash longs into per-bit counters.
+    Pure higher-order-function implementation (no UDF). NOTE: composing
+    this inline duplicates the tokenization into all 64 bit-votes — the
+    hot path (:func:`simhash_dup_pairs`) stages token hashes behind an
+    exchange and calls :func:`simhash_from_hashes`.
     """
     toks = TX.tokens(text_col)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return simhash_from_hashes(hashes, bits)
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
+    """SimHash from a pre-computed array<long> of token hashes."""
     # Per bit k (python-level loop — shift amounts must be literals): the
     # vote is (#tokens with bit set) - (#tokens with bit clear).
     # bit-test via mask (shift functions reject lambda variables); a closure
@@ -165,7 +176,11 @@ def simhash_dup_pairs(
     """
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
-    sigs = docs.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sig"))
+    hashed = docs.select(
+        F.col(id_col).alias("_id"),
+        F.transform(TX.tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_h"),
+    ).repartition(F.col("_id"))  # barrier: tokenize/hash exactly once per row
+    sigs = hashed.select("_id", simhash_from_hashes(F.col("_h")).alias("_sig"))
     blocks = sigs.select(
         "_id",
         "_sig",
@@ -180,6 +195,7 @@ def simhash_dup_pairs(
             )
         ).alias("_blk_idx", "_blk"),
     )
+    blocks = blocks.persist()  # self-joined below; avoid recomputing signatures
     cand = (
         blocks.alias("a")
         .join(

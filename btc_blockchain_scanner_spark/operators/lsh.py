@@ -31,18 +31,26 @@ def _perm_consts(i: int) -> tuple[int, int]:
     return a, b
 
 
-def minhash_signature(shingles: Column, num_perm: int = 32) -> Column:
-    """array<string> shingles → array<long> MinHash signature."""
-    base = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)))
+def _signature_from_base(base: Column, num_perm: int) -> Column:
+    """array<long> shingle hashes → array<long> MinHash signature."""
+    # closure factory: PySpark derives HOF arity from the Python signature,
+    # so the lambda must stay unary (no default-arg captures)
+    def make_perm(a: int, b: int):
+        return lambda h: (h % MERSENNE * a + b) % MERSENNE
+
     sig = []
     for i in range(num_perm):
         a, b = _perm_consts(i)
-        sig.append(
-            F.array_min(
-                F.transform(base, lambda h: (h % MERSENNE * a + b) % MERSENNE)
-            )
-        )
+        sig.append(F.array_min(F.transform(base, make_perm(a, b))))
     return F.array(*sig)
+
+
+def minhash_signature(shingles: Column, num_perm: int = 32) -> Column:
+    """array<string> shingles → array<long> MinHash signature. NOTE: inline
+    composition duplicates the shingle expression num_perm times — prefer
+    the staged plan in :func:`lsh_candidate_pairs` for anything hot."""
+    base = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)))
+    return _signature_from_base(base, num_perm)
 
 
 def band_hashes(sig: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -69,13 +77,28 @@ def lsh_candidate_pairs(
     pathological mega-bucket is capped by distinctness of the pair set.
     """
     rows_per_band = max(1, num_perm // num_bands)
-    sigs = df.select(
+    # Materialization barriers between the expression stages: without them
+    # CollapseProject inlines the shingle pipeline into every one of the
+    # num_perm signature entries and again into every band hash — an
+    # O(perms x bands) expression-duplication blowup (measured 300x slower).
+    # A repartition exchange forces each intermediate array to be computed
+    # exactly once; at scale the signature table is the thing you'd persist
+    # anyway.
+    base = df.select(
         F.col(id_col).alias("_id"),
-        band_hashes(
-            minhash_signature(F.col(shingles_col), num_perm), num_bands, rows_per_band
-        ).alias("_bands"),
+        F.transform(F.col(shingles_col), lambda s: F.abs(F.xxhash64(s))).alias("_base"),
+    ).repartition(F.col("_id"))
+    sig = base.select(
+        "_id", _signature_from_base(F.col("_base"), num_perm).alias("_sig")
+    ).repartition(F.col("_id"))
+    sigs = sig.select(
+        "_id", band_hashes(F.col("_sig"), num_bands, rows_per_band).alias("_bands")
     )
     buckets = sigs.select("_id", F.posexplode("_bands").alias("_band_idx", "_band_hash"))
+    # the self-join would re-execute the whole signature lineage for each
+    # branch; persist the (tiny relative to input) bucket table once — at
+    # cluster scale this is the signature table you'd write to storage
+    buckets = buckets.persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (

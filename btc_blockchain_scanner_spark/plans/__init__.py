@@ -10,6 +10,7 @@ from .registry import REGISTRY, Q, query  # noqa: F401
 from . import relational_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 from . import kg_queries  # noqa: E402,F401
+from . import extended_queries  # noqa: E402,F401
 
 
 def queries():

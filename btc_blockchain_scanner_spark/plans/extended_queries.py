@@ -1,0 +1,114 @@
+"""Extended coverage: JSON extraction, rollup/cube, CASE-pivot, BFS closure,
+multimodal feature extraction.
+
+Rollup/cube/pivot don't exist in the reference (SURVEY.md §2.4 "no grouping
+sets/cube/rollup") — they're engine-completeness additions a Spark user
+expects; each still carries a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import graph, multimodal
+from ..sources.tables import load
+from .registry import query
+
+
+@query(
+    "p05_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k
+    FROM events GROUP BY event_type
+    """,
+)
+def p05_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from a JSON string column (engine
+    completeness; the reference stores bit-flags instead — input_special,
+    SURVEY.md §1.2). get_json_object is JVM-side, no UDF."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("long").alias("total_k"))
+    )
+
+
+@query(
+    "a07_rollup_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a07_rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (subtotal + grand-total rows with NULL
+    group keys)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@query(
+    "a08_cube_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a08_cube_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all grouping-set combinations."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@query(
+    "o04_pivot_flag_status",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def o04_pivot_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (F9 SUM(IF(...)) pattern,
+    tests/RunUpdateWallets.java:167)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0)).cast("long").alias("n_open"),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).cast("long").alias("n_filled"),
+    )
+
+
+@query("g01_bfs_closure")  # rows-only: iterative frontier loop (M7)
+def g01_bfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure from hub parts over the co-order graph — the
+    related-address BFS (db/DbQueries.java:39-64). Iterative frontier join
+    with visited pruning; python-BFS-verified in tests."""
+    li = load(spark, sf_dir, "lineitem")
+    from ..operators.cc import pair_edges_from_groups
+
+    edges = pair_edges_from_groups(li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey")
+    sources = spark.createDataFrame([(0,), (1,)], "node long")
+    return graph.bfs_reachable(edges, sources, max_hops=3)
+
+
+@query("mm01_asset_features")  # rows-only: mapInPandas binary decode (stub)
+def mm01_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction: binary payload → float vector via
+    Arrow-batched mapInPandas (deterministic stub decode; see
+    operators/multimodal.py)."""
+    assets = multimodal.synthesize_assets(spark, n=200)
+    return multimodal.extract_features(assets, dim=16).drop("feature").withColumn(
+        "n_bytes", F.col("n_bytes").cast("int")
+    )
+
+
+@query("mm02_frame_sample")  # rows-only: metadata-driven frame grid
+def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling grid from typed metadata only — the payload
+    column never leaves the scan (column pruning on binary)."""
+    assets = multimodal.synthesize_assets(spark, n=200)
+    return multimodal.frame_sample(assets, every_ms=10000)
