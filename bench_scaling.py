@@ -33,10 +33,13 @@ from pyspark.sql import functions as F
 
 cpus = int(sys.argv[1]); n_convs = int(sys.argv[2])
 spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=cpus, app_name=f"scale{{cpus}}")
-tr = datagen.transcripts(spark, n_convs=n_convs, partitions=cpus * 2)
 out = tempfile.mkdtemp(prefix=f"scale{{cpus}}_")
+# stage the landing table untimed (the timed job is read -> extract -> write,
+# mirroring the reference's prepared-block path, README.md:10-11)
+datagen.transcripts(spark, n_convs=n_convs, partitions=64).write.mode("overwrite").parquet(out + "/transcripts")
+tr = spark.read.parquet(out + "/transcripts")
 # warm-up: tiny job to pay JVM/codegen startup outside the timed section
-datagen.transcripts(spark, n_convs=10).count()
+extract.triples_from(extract.extract(tr.limit(50))).count()
 t0 = time.perf_counter()
 ex = extract.extract(tr).persist()
 mentions = extract.mentions_from(ex)

@@ -65,26 +65,27 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col(id_col).alias("_id"), TX.word_shingles(F.col(text_col), n).alias("_sh")
     )
-    # reused by candidate generation AND both sides of the verify join —
-    # persist so the shingle expression runs once per row
     sh = sh.where(F.size("_sh") > 0).persist()
-    exploded = sh.select("_id", F.explode("_sh").alias("_g"))
-    # drop non-discriminative hub shingles (frequency cap = 1000 docs)
-    freq = exploded.groupBy("_g").agg(F.count("*").alias("_f"))
-    exploded = exploded.join(freq.where(F.col("_f") <= 1000), "_g")
+    # _sh is a DISTINCT shingle array, so (id, shingle) rows are unique and
+    # the shared-shingle count c per pair equals |A ∩ B| exactly — Jaccard
+    # falls out arithmetically: j = c / (|A| + |B| - c). No second pass
+    # over the arrays, no verify join; one shuffle for the pair groupBy.
+    # (Hub-shingle candidate blowup is inherent to the EXACT operator on
+    # adversarial corpora; minhash_lsh_pairs is the bounded-cost path.)
+    exploded = sh.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_g"))
     cand = (
         exploded.alias("a")
         .join(exploded.alias("b"), (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
+        )
+        .agg(F.count("*").alias("_c"))
     )
-    verified = (
-        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
-        .select("id_a", "id_b", lsh.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jacc"))
-        .where(F.col("jacc") >= threshold)
-    )
-    return verified
+    jacc = F.col("_c").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_c")).cast("double")
+    return cand.select("id_a", "id_b", jacc.alias("jacc")).where(F.col("jacc") >= threshold)
 
 
 # -- MinHash + LSH -----------------------------------------------------------

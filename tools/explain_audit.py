@@ -1,0 +1,64 @@
+"""Physical-plan audit: dump explain(formatted) for the headline queries and
+check plan-quality invariants (pushed filters, broadcast joins where
+expected, no Python row UDFs in hot paths). Writes PLANS.md.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+CHECKS = {
+    # query → substrings that MUST appear in the physical plan
+    "q01_pricing_summary": ["PushedFilters", "HashAggregate"],
+    "p04_range_scan": ["PushedFilters: [IsNotNull(l_orderkey), GreaterThanOrEqual(l_orderkey,1000)"],
+    "j07_region_revenue": ["BroadcastHashJoin"],
+    "j04_anti_missing": ["LeftAnti"],
+    "j05_semi_urgent": ["LeftSemi"],
+    "o02_top_revenue_orders": ["TakeOrderedAndProject"],
+    "a02_last_ids": ["HashAggregate"],
+    "t02_doc_quality": ["ReadSchema: struct<doc_id:bigint,text:string>"],
+    "mm02_frame_sample": [],
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from btc_blockchain_scanner_spark.session import get_spark
+    import btc_blockchain_scanner_spark.plans as plans
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4, app_name="explain")
+    qs = plans.queries()
+
+    out = ["# Physical plan audit (explain formatted)\n"]
+    failures = []
+    for name, required in CHECKS.items():
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        missing = [r for r in required if r not in plan]
+        status = "OK" if not missing else f"MISSING {missing}"
+        if missing:
+            failures.append(name)
+        print(f"{name}: {status}")
+        # keep plans compact: strip the long footer of column refs
+        head = re.split(r"\n\n\(1\) ", plan)[0]
+        out.append(f"## {name} — {status}\n\n```\n{plan[:4000]}\n```\n")
+        _ = head
+
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print(f"\n{len(failures)} plan check failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
