@@ -78,6 +78,28 @@ def main() -> None:
         shutil.rmtree(out, ignore_errors=True)
     timings["kg_pipeline_e2e"] = round(kg_sec, 3)
 
+    # throughput-bound extraction rate over a larger staged corpus (the
+    # scaling benchmark's job shape; see bench_scaling.py / BENCH_SCALING.md)
+    from btc_blockchain_scanner_spark.kg import extract as kg_extract
+
+    n_big = 50000 if "0.1" in SF_DIR else (5000 if "0.01" in SF_DIR else 1000)
+    stage_dir = tempfile.mkdtemp(prefix="bench_extract_")
+    try:
+        datagen.transcripts(spark, n_convs=n_big, partitions=CPUS * 2).write.mode(
+            "overwrite"
+        ).parquet(stage_dir + "/tr")
+        tr_big = spark.read.parquet(stage_dir + "/tr")
+        n_turns = tr_big.count()
+        t0 = time.perf_counter()
+        kg_extract.triples_from(
+            kg_extract.extract(tr_big)
+        ).write.mode("overwrite").parquet(stage_dir + "/out")
+        ex_sec = time.perf_counter() - t0
+        n_big_triples = spark.read.parquet(stage_dir + "/out").count()
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    timings["kg_extract_throughput"] = round(ex_sec, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -90,6 +112,9 @@ def main() -> None:
                 "cpus": CPUS,
                 "kg_triples": triples,
                 "triples_per_sec": round(triples / kg_sec, 1) if kg_sec > 0 else None,
+                "extract_turns": n_turns,
+                "extract_triples_per_sec": round(n_big_triples / ex_sec, 1),
+                "extract_turns_per_sec": round(n_turns / ex_sec, 1),
             }
         )
     )

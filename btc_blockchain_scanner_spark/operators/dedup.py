@@ -88,6 +88,116 @@ def ngram_jaccard_pairs(
     return cand.select("id_a", "id_b", jacc.alias("jacc")).where(F.col("jacc") >= threshold)
 
 
+# -- embedding-cosine near-dup -------------------------------------------------
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_tables: int = 8,
+    planes_per_table: int = 6,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) pairs with cosine >= threshold.
+
+    Scale path (default): multi-table hyperplane-LSH candidates → exact
+    cosine verify — at threshold 0.9 (angle <= 26°) a 6-plane table
+    collides with p ~ (1-26/180)^6 ≈ 0.38, OR-amplified over 8 tables to
+    ~0.98 recall. ``exact=True`` switches to the O(n²) broadcast cross
+    join (used by the sf0.01 oracle gate where n=500).
+    """
+    from . import similarity
+
+    e = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if exact:
+        a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+        b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+        cand = F.broadcast(a).crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        ba = similarity._multi_table_buckets(e, "_id", "_v", num_tables, planes_per_table, dim)
+        bb = ba.select(
+            F.col("_id").alias("id_b"), F.col("_vec").alias("vb"), "_tbl", "_bucket"
+        )
+        cand = (
+            ba.join(bb, ["_tbl", "_bucket"])
+            .where(F.col("_id") < F.col("id_b"))
+            .select(F.col("_id").alias("id_a"), F.col("_vec").alias("va"), "id_b", "vb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    from .similarity import cosine
+
+    return (
+        cand.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+# -- winnowing fingerprints ---------------------------------------------------
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken):
+    hash all k-gram shingles, keep the minimum hash of every sliding window
+    of `window` consecutive shingles, emit the distinct selected hashes.
+
+    Guarantee: any shared substring of >= k+window-1 words produces at
+    least one shared fingerprint — the standard plagiarism/near-dup sketch.
+    Output: (id, fingerprint long) exploded rows, ready for a groupBy join.
+    Pure higher-order functions; hashes staged behind an exchange.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("_id"), TX.word_shingles(F.col(text_col), k).alias("_sh")
+    ).where(F.size("_sh") >= 1)
+    hashed = sh.select(
+        "_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_h")
+    ).repartition(F.col("_id"))
+    n = F.size("_h")
+    starts = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)).otherwise(
+        F.sequence(F.lit(1), F.lit(1))
+    )
+    mins = F.transform(
+        starts, lambda i: F.array_min(F.slice(F.col("_h"), i, window))
+    )
+    return (
+        hashed.select("_id", F.explode(F.array_distinct(mins)).alias("fingerprint"))
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def winnow_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Near-dup pairs sharing >= min_shared winnowing fingerprints —
+    one explode + one shuffle groupBy, no quadratic pass."""
+    fp = winnow_fingerprints(docs, id_col, text_col, k, window)
+    pairs = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .where(F.col("shared_fingerprints") >= min_shared)
+    )
+    return pairs
+
+
 # -- MinHash + LSH -----------------------------------------------------------
 
 

@@ -79,6 +79,44 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a01_lines_per_order",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS n_lines, COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def a01_lines_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 fan-out counts per parent key (reference: inputs/outputs per tx,
+    DbQueryInput.java:43,95-97). Partial-agg before the shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"), F.countDistinct("l_partkey").alias("n_parts")
+    )
+
+
+@query(
+    "p03_nonempty_orders",
+    oracle="""
+    SELECT COUNT(*) AS n FROM (
+      SELECT o_orderkey FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey HAVING COUNT(*) > 0)
+    """,
+)
+def p03_nonempty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 non-empty filter (reference: `.filter(tx -> tx.getNInputs() != 0)`,
+    RunUpdateWallets2.java:158)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    nonempty = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+        .where(F.col("n_lines") > 0)
+    )
+    return nonempty.agg(F.count("*").alias("n"))
+
+
+@query(
     "a02_last_ids",
     oracle="""
     SELECT (SELECT MAX(o_orderkey) FROM orders) AS last_order,
@@ -663,6 +701,96 @@ def f01_scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(0, 500, "p2pkh"), (500, 1000, "p2sh"), (1000, 1500, "p2wpkh"), (1500, 1 << 62, "p2wsh")],
         ).alias("key_type"),
     )
+
+
+@query(
+    "q03_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_osum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → grouped revenue →
+    top-N. The c_mktsegment filter prunes the broadcast side before the
+    join; date filters push to both scans."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15 00:00:00")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15 00:00:00")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q06_revenue_forecast",
+    oracle=f"""
+    SELECT {_osum('l_extendedprice * l_discount', 'revenue')}, COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate pushes to
+    parquet (range + between), no shuffle beyond the final 1-row agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey)
+    GROUP BY n_orders
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left join + two-level aggregation (count
+    distribution). COUNT(col) null-skips the unmatched side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
 
 
 @query(

@@ -212,6 +212,46 @@ def t08_emb_top1_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("q_id", "c_id")
 
 
+@query(
+    "t10_emb_dup_exact",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    s AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cos_sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b FROM s WHERE cos_sim >= 0.35
+    """,
+)
+def t10_emb_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact (broadcast cross join) — the
+    baseline the LSH variant (t11) is measured against. Threshold 0.35 is
+    calibrated to this corpus (max pairwise cosine ~0.51)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(emb, threshold=0.35, exact=True).select("id_a", "id_b")
+
+
+@query("t11_emb_dup_lsh")  # rows-only: candidate set is LSH-approximate
+def t11_emb_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via multi-table hyperplane LSH + exact verify —
+    the scale path (recall vs t10 asserted in tests)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(
+        emb, threshold=0.35, num_tables=12, planes_per_table=3
+    ).select("id_a", "id_b")
+
+
+@query("t12_winnow_dups")  # rows-only: fingerprint sketch
+def t12_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (Schleimer et al.): shared
+    selected k-gram hashes >= 3."""
+    return dedup.winnow_dup_pairs(load(spark, sf_dir, "documents"), k=5, window=4, min_shared=3)
+
+
 @query("t09_emb_lsh_topk")  # rows-only: approximate by design
 def t09_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-1 via random-hyperplane LSH buckets + in-bucket exact cosine;
