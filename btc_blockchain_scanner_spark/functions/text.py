@@ -114,3 +114,19 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def word_shingles_positional(text: Column, n: int = 3) -> Column:
+    """POSITIONAL word n-gram shingles — one entry per position, repeats
+    kept. Winnowing needs this: its window-min selection is defined over
+    the positional k-gram stream, and dropping repeats (array_distinct)
+    would change window composition and break the shared-substring
+    guarantee for texts with recurring k-grams."""
+    toks = tokens(text)
+    k = F.size(toks)
+    return F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(0), k - n), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        ),
+    ).otherwise(F.array().cast("array<string>"))

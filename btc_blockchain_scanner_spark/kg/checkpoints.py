@@ -1,4 +1,5 @@
-"""Per-partition checkpoint manifest: lineage + counters + resume.
+"""Per-partition checkpoint manifest: lineage + counters + resume +
+tail validation.
 
 Reference analog (SURVEY.md §2.8): the NumberFile checkpoint —  a file
 rewritten every batch with the last processed id (util/Utils.java:287-329,
@@ -8,10 +9,20 @@ one row per conv_id-hash partition with the counters that FIXTURES.md §2
 specifies (turns_scanned, mentions_found, triples_emitted), written with
 dynamic partition overwrite so re-running a partition replaces exactly its
 own manifest row (single-writer-per-partition, idempotent).
+
+Tail validation (M5, DbValidationUtils.java:77-165): the reference walks
+the table tail after a crash, compares stored counts against actual rows,
+and deletes/reloads from the first inconsistent block. ``validated_done``
+is the Spark-side analog: a manifest row only counts as *done* if the
+partition's parquet FOOTER row counts (metadata-only, no data scan) match
+the recorded counters; a truncated/corrupt/missing partition fails the
+check and is re-extracted by the caller — dynamic partition overwrite is
+the "delete from the first bad block" repair.
 """
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +64,43 @@ class Manifest:
             for r in self.read().select("partition_key").distinct().collect()
         }
 
+    def validated_done(self, expected: dict[str, str]) -> set[str]:
+        """Done partitions whose on-disk data matches the manifest counters.
+
+        ``expected`` maps a partitioned table's base path to the manifest
+        counter column holding its expected row count, e.g.
+        ``{mentions_path: "mentions_found", triples_path: "triples_emitted"}``.
+
+        Row counts come from parquet footers only (pyarrow metadata — no
+        data scan; on a cluster this is the same O(#files) listing a
+        commit-protocol check performs). A partition whose footers are
+        unreadable (truncated mid-write), whose directory is missing while
+        the manifest expects rows, or whose count disagrees with the
+        manifest is EXCLUDED — the caller re-extracts it, and the dynamic
+        partition overwrite replaces the bad tail byte-identically.
+        """
+        if not self.exists():
+            return set()
+        cols = sorted(set(expected.values()))
+        rows = self.read().select("partition_key", *cols).collect()
+        ok: set[str] = set()
+        for r in rows:
+            key = str(r["partition_key"])
+            good = True
+            for path, col in expected.items():
+                want = r[col] or 0
+                have = _partition_rowcount(path, key)
+                if have is None:
+                    # empty partitions legitimately write no directory
+                    good = want == 0
+                else:
+                    good = have == want
+                if not good:
+                    break
+            if good:
+                ok.add(key)
+        return ok
+
     def record(self, counters: DataFrame) -> None:
         """Upsert counter rows (one per partition_key) — dynamic partition
         overwrite replaces only the partitions present in ``counters``."""
@@ -71,3 +119,20 @@ class Manifest:
             .partitionBy("partition_key")
             .parquet(self.path)
         )
+
+
+def _partition_rowcount(base: str, key: str) -> int | None:
+    """Row count of one hive partition from parquet footers, or None if the
+    directory is absent or any footer is unreadable (= corrupt tail)."""
+    import pyarrow.parquet as pq
+
+    pdir = os.path.join(base, f"partition_key={key}")
+    if not os.path.isdir(pdir):
+        return None
+    total = 0
+    for f in glob.glob(os.path.join(pdir, "*.parquet")):
+        try:
+            total += pq.ParquetFile(f).metadata.num_rows
+        except Exception:  # noqa: BLE001 — any unreadable footer = corrupt
+            return None
+    return total

@@ -122,6 +122,50 @@ def mentions_from(extracted: DataFrame) -> DataFrame:
     )
 
 
+def mention_flags_from(mentions: DataFrame, turns: DataFrame) -> DataFrame:
+    """F4 sparse-flags side table (input_special analog: the reference
+    stores a TxInputSpecial row ONLY for inputs whose sighash/multisig
+    flags differ from the default — DbQueryInputSpecial.java,
+    SigUtils.java:30-77).
+
+    Per-mention flags, stored only when non-default (any flag true):
+
+    * ``flag_alias`` — the surface matched via the alias dictionary, not a
+      canonical form (mention_type == 'alias');
+    * ``flag_caps`` — the ORIGINAL source span is all-caps (extraction
+      lowercases; the span offsets let us check the raw text).
+
+    Keyed by (conv_id, turn_idx, pos); join back with
+    :func:`with_flag_defaults`. Pure Column math — no UDF.
+    """
+    m = mentions.join(turns.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"])
+    span = F.expr("substring(text, span_start + 1, span_end - span_start)")
+    flag_caps = (span == F.upper(span)) & (span != F.lower(span))
+    flag_alias = F.col("mention_type") == "alias"
+    return (
+        m.select(
+            "conv_id",
+            "turn_idx",
+            "pos",
+            flag_alias.alias("flag_alias"),
+            flag_caps.alias("flag_caps"),
+        )
+        .where(F.col("flag_alias") | F.col("flag_caps"))
+    )
+
+
+def with_flag_defaults(mentions: DataFrame, flags: DataFrame) -> DataFrame:
+    """Join the sparse flags table back onto the full mention stream with
+    coalesced defaults (false) — the read-side F8 shape the reference uses
+    when it re-attaches input_special rows on demand."""
+    return mentions.join(flags, ["conv_id", "turn_idx", "pos"], "left").withColumns(
+        {
+            "flag_alias": F.coalesce(F.col("flag_alias"), F.lit(False)),
+            "flag_caps": F.coalesce(F.col("flag_caps"), F.lit(False)),
+        }
+    )
+
+
 def triples_from(extracted: DataFrame) -> DataFrame:
     """Flatten to the raw (surface-level) triples table."""
     t = extracted.select("conv_id", "turn_idx", F.explode(F.col("ex.triples")).alias("t"))

@@ -7,8 +7,11 @@ Spark-first re-expression:
 * resolution: broadcast alias dictionary join (exact), then MinHash/LSH
   blocking + Jaccard over char-3-gram shingles for unmatched surfaces
   (north_star fuzzy path), else the surface becomes its own new entity key;
-* id assignment: deterministic — new keys get
-  ``dense_rank() over (order by md5(key))`` + stored max-id watermark.
+* id assignment: deterministic — new keys get rank-of-md5(key) + stored
+  max-id watermark, computed via the bucketed two-phase rank
+  (operators/rank.py: 256-way md5-prefix buckets + exclusive offsets, NO
+  single-partition window) which is byte-identical to
+  ``dense_rank() over (order by md5(key))``.
   NEVER ``monotonically_increasing_id`` (SURVEY.md §7.3 hard part (b):
   ids must be identical at local[8] and local[32]). The watermark update
   is driver-side single-writer like the reference's ``lastAddressId``
@@ -147,9 +150,10 @@ def get_or_create_entities(
         existing.select(F.col("display_name").alias("entity_key")), "entity_key", "left_anti"
     )
     max_id = existing.agg(F.coalesce(F.max("entity_id"), F.lit(0))).collect()[0][0]
-    w = W.orderBy(F.md5(F.col("entity_key")))
-    new_entities = new.select(
-        (F.dense_rank().over(w) + F.lit(max_id)).cast("int").alias("entity_id"),
+    from ..operators.rank import ranked_by_md5
+
+    new_entities = ranked_by_md5(new, "entity_key", "entity_id", offset=int(max_id)).select(
+        F.col("entity_id").cast("int").alias("entity_id"),
         F.lit("concept").alias("entity_type"),
         F.md5(F.col("entity_key")).alias("canonical_hash"),
         F.col("entity_key").alias("display_name"),

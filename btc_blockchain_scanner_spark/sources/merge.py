@@ -25,7 +25,15 @@ from pyspark.sql import functions as F
 
 def _atomic_swap(df: DataFrame, target: str) -> None:
     """Write to a sibling temp dir, then swap — readers never see a partial
-    table (Iceberg snapshot-commit stand-in)."""
+    table (Iceberg snapshot-commit stand-in).
+
+    NOT fully atomic and LOCAL-POSIX-ONLY: the swap is two renames, so a
+    crash between them leaves only ``<target>._old`` (no target); and
+    os.rename does not span object stores. On a real deployment this whole
+    function IS an Iceberg snapshot commit. :func:`_recover_swap` restores
+    a leftover ``._old`` on the next call, so a mid-swap crash is a retry,
+    not data loss.
+    """
     parent = os.path.dirname(target.rstrip("/"))
     tmp = tempfile.mkdtemp(prefix="_merge_", dir=parent or ".")
     df.write.mode("overwrite").parquet(tmp)
@@ -34,6 +42,14 @@ def _atomic_swap(df: DataFrame, target: str) -> None:
         os.rename(target, back)
     os.rename(tmp, target)
     shutil.rmtree(back, ignore_errors=True)
+
+
+def _recover_swap(target: str) -> None:
+    """Crash recovery: if a previous swap died after renaming target away
+    but before installing the new table, restore the backup."""
+    back = target.rstrip("/") + "._old"
+    if os.path.isdir(back) and not os.path.isdir(target):
+        os.rename(back, target)
 
 
 def merge_upsert(
@@ -50,6 +66,7 @@ def merge_upsert(
     Updates must be unique per key (enforced). Returns op counters
     (inserted/updated/deleted/kept) — the DbUpdate.printStats analog.
     """
+    _recover_swap(target_path)
     dup = updates.groupBy(*key_cols).count().where(F.col("count") > 1).limit(1).count()
     if dup:
         raise ValueError("updates contain duplicate keys — dedup before merging")

@@ -48,15 +48,17 @@ def test_two_components_merge_via_bridge(spark):
     assert after == {(1, 1), (2, 1), (5, 1), (6, 1)}
 
 
-def test_pair_edges_chain_equivalence(spark):
+def test_pair_edges_star_equivalence(spark):
     # group incidences: group g1 has members {3,1,2}, g2 has {7}, g3 {8,9}
+    # → star edges from each group's min member (diameter 2, so CC
+    # converges in O(1) rounds even for million-member hub groups)
     df = spark.createDataFrame(
         [("g1", 3), ("g1", 1), ("g1", 2), ("g2", 7), ("g3", 8), ("g3", 9), ("g1", 1)],
         "g string, m long",
     )
     edges = pair_edges_from_groups(df, "g", "m")
     got = {(r.src, r.dst) for r in edges.collect()}
-    assert got == {(1, 2), (2, 3), (8, 9)}
+    assert got == {(1, 2), (1, 3), (8, 9)}
     # connectivity equivalent to the clique
     comp = _cc(spark, list(got))
     assert comp == {(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)}
@@ -73,3 +75,47 @@ def test_cc_deterministic_across_shuffle_partitions(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_long_path_converges_in_log_rounds(spark):
+    # A 400-node path has diameter 399 — one-hop propagation would need
+    # ~400 rounds; pointer doubling must finish well inside max_iter=12
+    # (2^12 >> 399). This is the ADVICE regression: chains longer than
+    # max_iter used to mislabel silently.
+    edges = [(i, i + 1) for i in range(1, 400)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.node, r.component) for r in connected_components(df, max_iter=12).collect()}
+    assert got == {(i, 1) for i in range(1, 401)}
+
+
+def test_ranked_by_md5_matches_global_window(spark):
+    # the bucketed two-phase rank must be BYTE-identical to the
+    # single-partition global rank it replaces (same id spec, new plan)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from btc_blockchain_scanner_spark.operators.rank import ranked_by_md5
+
+    keys = [(f"key-{i:04d}",) for i in range(937)]
+    df = spark.createDataFrame(keys, "k string")
+    got = {
+        (r.k, r.entity_id)
+        for r in ranked_by_md5(df, "k", "entity_id", offset=100).collect()
+    }
+    w = W.orderBy(F.md5(F.col("k")))
+    want = {
+        (r.k, r.entity_id)
+        for r in df.select(
+            "k", (F.row_number().over(w) + F.lit(100)).cast("long").alias("entity_id")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_nonconvergence_raises(spark):
+    # max_iter=0 can never converge → must raise, not silently mislabel
+    import pytest
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=0)

@@ -45,6 +45,25 @@ def test_merge_rejects_duplicate_update_keys(spark, tmp_path):
     assert not (tmp_path / "t2").exists()
 
 
+def test_merge_recovers_interrupted_swap(spark, tmp_path):
+    """Crash between the two swap renames leaves only <target>._old; the
+    next merge call must restore it instead of treating the table as new."""
+    import os
+
+    from btc_blockchain_scanner_spark.sources import merge
+
+    target = str(tmp_path / "t3")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    merge.merge_upsert(spark, target, base, ["k"])
+    # simulate the mid-swap crash state
+    os.rename(target, target + "._old")
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    res = merge.merge_upsert(spark, target, upd, ["k"])
+    assert res == {"inserted": 1, "updated": 1, "deleted": 0, "kept": 1}
+    got = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
 def test_winnow_guarantee(spark):
     # docs sharing a >= k+window-1 = 8-word run must share a fingerprint
     common = "alpha beta gamma delta epsilon zeta eta theta"
@@ -63,6 +82,26 @@ def test_winnow_guarantee(spark):
 
     pairs = {(r.id_a, r.id_b) for r in dedup.winnow_dup_pairs(docs, k=5, window=4, min_shared=1).collect()}
     assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_winnow_guarantee_with_recurring_kgrams(spark):
+    # ADVICE regression: the shared run itself contains a REPEATED k-gram
+    # ("go go go go go" twice). With array_distinct'd shingles the window
+    # stream would collapse and could skip the run; positional shingles
+    # keep the guarantee.
+    common = "go go go go go stop go go go go go halt alpha beta gamma delta"
+    rows = [
+        (1, f"one two three {common} four five"),
+        (2, f"six seven eight nine {common} ten"),
+        (3, "entirely unrelated filler text with nothing shared at all here today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = dedup.winnow_fingerprints(docs, k=5, window=4)
+    sets: dict[int, set] = {}
+    for r in fp.collect():
+        sets.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert sets[1] & sets[2], "recurring-k-gram shared run must still share a fingerprint"
+    assert not (sets[1] & sets[3])
 
 
 def test_stateful_sessionize_stream(spark, tmp_path):

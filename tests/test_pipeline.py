@@ -77,6 +77,63 @@ def test_invariants(spark, run_dir):
     ).count() == 0
 
 
+def test_mention_flags_sparse_side_table(spark, run_dir):
+    """F4 (input_special analog): the flags table holds ONLY non-default
+    rows; joining back with defaults covers every mention exactly once."""
+    from btc_blockchain_scanner_spark.kg import extract
+
+    out, res, o = run_dir
+    mentions = pipeline.read_table(spark, out, "mentions")
+    flags = pipeline.read_table(spark, out, "mention_flags")
+
+    # sparse: every stored row has at least one non-default flag
+    assert flags.where(~(F.col("flag_alias") | F.col("flag_caps"))).count() == 0
+    # and the table is genuinely sparse (alias mentions are a strict subset)
+    n_m, n_f = mentions.count(), flags.count()
+    assert 0 < n_f < n_m
+    assert n_f == mentions.where(F.col("mention_type") == "alias").count()
+
+    # join-back with coalesced defaults: same cardinality, flags total match
+    full = extract.with_flag_defaults(
+        mentions, flags.drop("partition_key")
+    )
+    assert full.count() == n_m
+    assert full.where("flag_alias").count() == n_f
+
+
+def test_unregistered_tpch_queries_still_correct(spark):
+    """q06/q13 left the driver registry (50-row cap) but stay correct."""
+    import duckdb
+
+    from btc_blockchain_scanner_spark.plans.relational_queries import (
+        q06_revenue_forecast,
+        q13_customer_distribution,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("lineitem", "customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    got6 = q06_revenue_forecast(spark, sf).collect()[0]
+    want6 = con.execute(
+        """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE), COUNT(*)
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+             AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24"""
+    ).fetchone()
+    assert (got6[0], got6[1]) == (want6[0], want6[1])
+    got13 = {(r.n_orders, r.n_customers) for r in q13_customer_distribution(spark, sf).collect()}
+    want13 = set(
+        con.execute(
+            """SELECT n_orders, COUNT(*) FROM (
+                 SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+                 FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey)
+               GROUP BY n_orders"""
+        ).fetchall()
+    )
+    assert got13 == want13
+
+
 def test_resume_from_dirty_tail(spark, tmp_path):
     """Kill mid-run (only partitions 0/1 extracted, no manifest), then resume
     → output identical to a clean full run (M4/M5, FIXTURES.md §3)."""
@@ -95,6 +152,62 @@ def test_resume_from_dirty_tail(spark, tmp_path):
         a = {tuple(r) for r in pipeline.read_table(spark, clean_dir, table).collect()}
         b = {tuple(r) for r in pipeline.read_table(spark, dirty_dir, table).collect()}
         assert a == b, f"{table} differs after resume"
+
+
+def test_tail_validation_detects_corrupt_partition(spark, tmp_path):
+    """M5 (DbValidationUtils analog): a partition whose manifest row says
+    done but whose parquet data is truncated mid-write must be detected on
+    resume and re-extracted → byte-identical to a clean run."""
+    import glob
+    import os
+
+    tr = datagen.transcripts(spark, n_convs=25).cache()
+    clean_dir, hurt_dir = str(tmp_path / "clean"), str(tmp_path / "hurt")
+    pipeline.run(spark, tr, clean_dir, n_parts=4)
+    pipeline.run(spark, tr, hurt_dir, n_parts=4)
+
+    # simulate a mid-write crash AFTER the manifest said done: truncate one
+    # mentions partition file to half its bytes (footer gone = corrupt)
+    files = glob.glob(f"{hurt_dir}/mentions/partition_key=2/*.parquet")
+    assert files
+    with open(files[0], "r+b") as f:
+        f.truncate(os.path.getsize(files[0]) // 2)
+
+    res = pipeline.run(spark, tr, hurt_dir, n_parts=4)
+    assert res.processed_partitions == ["2"], "only the corrupt partition re-runs"
+
+    for table in ("mentions", "triples", "entities", "canon_map", "nodes", "edges"):
+        a = {tuple(r) for r in pipeline.read_table(spark, clean_dir, table).collect()}
+        b = {tuple(r) for r in pipeline.read_table(spark, hurt_dir, table).collect()}
+        assert a == b, f"{table} differs after tail repair"
+
+
+def test_tail_validation_detects_row_loss(spark, tmp_path):
+    """A partition whose file count is intact but rows were silently lost
+    (footer count != manifest counter) is also re-extracted."""
+    import glob
+
+    tr = datagen.transcripts(spark, n_convs=25).cache()
+    out = str(tmp_path / "loss")
+    pipeline.run(spark, tr, out, n_parts=4)
+
+    # overwrite one triples partition with a valid-but-short parquet file
+    pdir_files = glob.glob(f"{out}/triples/partition_key=1/*.parquet")
+    assert pdir_files
+    short = spark.read.parquet(f"{out}/triples/partition_key=1").limit(1)
+    import pandas as pd  # noqa: F401 — via toPandas
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.Table.from_pandas(short.toPandas())
+    for f in pdir_files:
+        import os
+
+        os.remove(f)
+    pq.write_table(tbl, pdir_files[0])
+
+    res = pipeline.run(spark, tr, out, n_parts=4)
+    assert res.processed_partitions == ["1"]
 
 
 def test_resume_skips_done_partitions(spark, tmp_path):

@@ -34,6 +34,39 @@ def test_exact_dedup(spark):
     assert kept.where(F.col("doc_id") == 2).count() == 0
 
 
+def test_ngram_hub_cap_keeps_jaccard_exact(spark):
+    # every doc shares one boilerplate sentence (hub shingles, df = n_docs);
+    # docs 1/2 are near-dups of each other beyond the boilerplate.
+    boiler = "this transcript is confidential property of the example corp"
+    rows = [
+        (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, boiler + " alpha beta gamma delta epsilon zeta eta iota"),
+        (3, boiler + " one two three four five six seven eight"),
+        (4, boiler + " nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r.id_a, r.id_b, round(r.jacc, 6))
+        for r in dedup.ngram_jaccard_pairs(d, threshold=0.5, max_shingle_freq=None).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, round(r.jacc, 6))
+        for r in dedup.ngram_jaccard_pairs(d, threshold=0.5, max_shingle_freq=3).collect()
+    }
+    # hub shingles (df=4 > 3) leave candidate generation, but the reported
+    # jaccard still counts them — pair (1,2) survives with the EXACT value
+    assert capped == uncapped
+    assert any(a == 1 and b == 2 for a, b, _ in capped)
+    # pairs (3,4): only shared shingles are boilerplate → below 0.5 anyway
+    # sanity: candidate explosion actually pruned — hub shingles produce
+    # 4*3/2=6 candidate pairs each; with the cap only (1,2) shares non-hub
+    capped_low = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(d, threshold=0.01, max_shingle_freq=3).collect()
+    }
+    assert capped_low == {(1, 2)}
+
+
 def test_minhash_lsh_recall_vs_exact(spark):
     docs = load(spark, "/root/testdata/sf0.001", "documents")
     exact = {

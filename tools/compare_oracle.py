@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 from collections import Counter
 
 import duckdb
@@ -54,6 +55,7 @@ def main():
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -62,8 +64,9 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        el = time.monotonic() - t0
         if name not in oracles:
-            print(f"ok?  {name}: rows-only check, {len(s_rows)} rows (no oracle)")
+            print(f"ok?  {name}: rows-only check, {len(s_rows)} rows (no oracle) [{el:.1f}s]")
             continue
         try:
             res = con.execute(oracles[name])
@@ -88,7 +91,7 @@ def main():
             print(f"FAIL {name}: " + "; ".join(problems))
             failures.append(name)
         else:
-            print(f"PASS {name} ({len(s_rows)} rows)")
+            print(f"PASS {name} ({len(s_rows)} rows) [{el:.1f}s]")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()

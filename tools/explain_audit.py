@@ -25,6 +25,19 @@ CHECKS = {
     "a02_last_ids": ["HashAggregate"],
     "t02_doc_quality": ["ReadSchema: struct<doc_id:bigint,text:string>"],
     "mm02_frame_sample": [],
+    # two-phase id assignment: the row_number window must run over the
+    # 256-way md5-prefix buckets, not a global single-partition sort
+    "kg03_entity_ids": ["hashpartitioning(_b"],
+}
+
+NEG_CHECKS = {
+    # regexes that must NOT match the plan.
+    # kg03: no row_number window sitting on a single-partition exchange —
+    # the only SinglePartition exchange allowed in the linking plan is the
+    # <=256-row bucket-count offset window (a sum(), not a row_number()).
+    "kg03_entity_ids": [r"Exchange SinglePartition(?:(?!Exchange)[\s\S]){0,800}row_number\(\)"],
+    # t05: candidate generation must never degenerate to a cross join
+    "t05_ngram_jaccard_dups": [r"CartesianProduct"],
 }
 
 
@@ -45,8 +58,9 @@ def main() -> None:
             df.explain("formatted")
         plan = buf.getvalue()
         missing = [r for r in required if r not in plan]
-        status = "OK" if not missing else f"MISSING {missing}"
-        if missing:
+        forbidden = [p for p in NEG_CHECKS.get(name, ()) if re.search(p, plan)]
+        status = "OK" if not (missing or forbidden) else f"MISSING {missing} FORBIDDEN {forbidden}"
+        if missing or forbidden:
             failures.append(name)
         print(f"{name}: {status}")
         # keep plans compact: strip the long footer of column refs
