@@ -65,6 +65,10 @@ def main() -> None:
         else:
             df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop persisted intermediates so one query's cache pressure can't
+        # slow its successors (measured: kg10 82 s after t06's persists vs
+        # 5 s in isolation)
+        spark.catalog.clearCache()
 
     # KG pipeline end-to-end (extraction → linking → CC → materialize) on
     # synthetic transcripts sized to the SF; reports triples/sec.

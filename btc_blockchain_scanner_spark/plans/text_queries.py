@@ -201,22 +201,36 @@ def t06_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pair-level semantics of each family stay pytest-tested
     (tests/test_text_ops.py); this query makes the recall NUMBERS
-    inspectable in CORRECTNESS/BENCH."""
+    inspectable in CORRECTNESS/BENCH.
+
+    The O(n²) EXACT baselines (brute cosine, brute Hamming) are bounded to
+    a deterministic 2000-element prefix of the corpus — recall is a
+    per-pair property, so a fixed-size sample keeps the evidence query
+    O(const) at any corpus scale; at the sf0.01 gate (500 docs) the prefix
+    is the whole corpus. The scalable approximate paths are still
+    exercised on the same subset so numerator and denominator match."""
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
+    docs_s = docs.where(F.col("doc_id") < 2000)  # bounds sim_exact's O(n²)
+    emb_s = emb.where(F.col("vec_id") < 2000)  # bounds emb_exact's O(n²)
 
+    # every pair set is consumed twice (its own count + the match semi-join)
+    # and some are expensive O(n²) baselines — persist them all; bench/gate
+    # clearCache() between queries reclaims the memory.
     jacc_exact = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("id_a", "id_b").persist()
-    minhash = dedup.minhash_lsh_pairs(docs, n=3, num_perm=32, num_bands=8, threshold=0.5)
-    winnow = dedup.winnow_dup_pairs(docs, k=5, window=4, min_shared=3)
-    sim_exact = dedup.simhash_pairs_exact(docs, max_hamming=3)
-    sim_band = dedup.simhash_dup_pairs(docs, max_hamming=3)
-    emb_exact = dedup.embedding_dup_pairs(emb, threshold=0.35, exact=True)
-    emb_lsh = dedup.embedding_dup_pairs(emb, threshold=0.35, num_tables=12, planes_per_table=3)
+    minhash = dedup.minhash_lsh_pairs(docs, n=3, num_perm=32, num_bands=8, threshold=0.5).persist()
+    winnow = dedup.winnow_dup_pairs(docs, k=5, window=4, min_shared=3).persist()
+    sim_exact = dedup.simhash_pairs_exact(docs_s, max_hamming=3).persist()
+    sim_band = dedup.simhash_dup_pairs(docs_s, max_hamming=3).persist()
+    emb_exact = dedup.embedding_dup_pairs(emb_s, threshold=0.35, exact=True).persist()
+    emb_lsh = dedup.embedding_dup_pairs(
+        emb_s, threshold=0.35, num_tables=12, planes_per_table=3
+    ).persist()
     q = emb.where(F.col("vec_id") < 50)
-    top_exact = similarity.brute_force_topk(q, emb, k=1).select("q_id", "c_id")
+    top_exact = similarity.brute_force_topk(q, emb_s, k=1).select("q_id", "c_id").persist()
     # 12 tables x 3 planes: P(candidate) = 1-(1-p^3)^12 >= 0.94 even at the
     # weak top-1 cosines of this corpus (~0.3-0.5 → p ~0.6) — measured 0.96
-    top_lsh = similarity.lsh_topk(q, emb, k=1, num_tables=12, planes_per_table=3).select(
+    top_lsh = similarity.lsh_topk(q, emb_s, k=1, num_tables=12, planes_per_table=3).select(
         "q_id", "c_id"
     )
 
@@ -228,7 +242,14 @@ def t06_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_family_stats("emb_lsh", emb_exact, emb_lsh, pk))
         .unionByName(_family_stats("ann_top1", top_exact, top_lsh, ["q_id", "c_id"]))
     )
-    return out
+    # materialize the 5 rows NOW and release every persisted pair set, so
+    # the (external) driver's later collect is a no-op re-read and this
+    # query leaves no cache pressure behind for its 5 successors — the r01
+    # driver runs all queries in one session with no cache isolation.
+    rows = out.collect()
+    for df in (jacc_exact, minhash, winnow, sim_exact, sim_band, emb_exact, emb_lsh, top_exact):
+        df.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @query(

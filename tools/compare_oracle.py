@@ -65,6 +65,7 @@ def main():
             failures.append(name)
             continue
         el = time.monotonic() - t0
+        spark.catalog.clearCache()  # cache isolation between queries
         if name not in oracles:
             print(f"ok?  {name}: rows-only check, {len(s_rows)} rows (no oracle) [{el:.1f}s]")
             continue
