@@ -101,6 +101,37 @@ def test_mention_flags_sparse_side_table(spark, run_dir):
     assert full.where("flag_alias").count() == n_f
 
 
+def test_entity_tags_side_tables(spark, run_dir):
+    """Tags analog (create-db-structure-tags.sql): deterministic tag dim,
+    idempotent entity_tag link load, read-side join-back with empty-array
+    default."""
+    from btc_blockchain_scanner_spark.kg import tags as TG
+
+    out, res, o = run_dir
+    entities = pipeline.read_table(spark, out, "entities")
+    nodes = pipeline.read_table(spark, out, "nodes")
+
+    dim = TG.tag_dim(spark, ["tool", "org", "tool"])  # dup name collapses
+    assert {(r.tag_id, r.name) for r in dim.collect()} == {
+        (r2.tag_id, r2.name) for r2 in TG.tag_dim(spark, ["org", "tool"]).collect()
+    }
+
+    some = [r.display_name for r in entities.limit(2).orderBy("entity_id").collect()]
+    rules = spark.createDataFrame(
+        [(some[0], "tool"), (some[0], "org"), (some[1], "org")], "display_name string, name string"
+    )
+    et = TG.tag_entities(entities, rules, dim)
+    assert et.count() == 3
+    # idempotent: loading the same rules twice yields the same link table
+    et2 = TG.tag_entities(entities, rules.unionAll(rules), dim)
+    assert {tuple(r) for r in et2.collect()} == {tuple(r) for r in et.collect()}
+
+    tn = TG.tagged_nodes(nodes, et, dim)
+    assert tn.count() == nodes.count()
+    got = {r.display_name: list(r.tags) for r in tn.where(F.size("tags") > 0).collect()}
+    assert got == {some[0]: ["org", "tool"], some[1]: ["org"]}
+
+
 def test_unregistered_tpch_queries_still_correct(spark):
     """q06/q13 left the driver registry (50-row cap) but stay correct."""
     import duckdb
