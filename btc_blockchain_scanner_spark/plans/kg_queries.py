@@ -287,7 +287,9 @@ def kg11_transcript_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..kg import canonicalize, link
 
     tr = datagen.transcripts(spark, n_convs=_sf_scale(sf_dir))
-    mentions = extract.mentions_from(extract.extract(tr))
+    # persist the flattened mentions: linking, co-mention edges, and CC all
+    # branch from it — without this the Arrow extraction re-runs per action
+    mentions = extract.mentions_from(extract.extract(tr)).persist()
     linked, entities = link.link_mentions(mentions, link.default_alias_dict(spark), spark=spark)
     edges = canonicalize.comention_edges(linked)
     return canonicalize.canon_map(entities, edges)

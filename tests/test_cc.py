@@ -88,6 +88,22 @@ def test_long_path_converges_in_log_rounds(spark):
     assert got == {(i, 1) for i in range(1, 401)}
 
 
+def test_hub_group_star_converges_fast(spark):
+    # a 60k-member group (hub skew shape): star edges keep it diameter 2,
+    # so CC must converge within a handful of rounds — the r01 chain
+    # topology would have needed 60k rounds and silently mislabeled.
+    from pyspark.sql import functions as F
+
+    big = spark.range(1, 60001).select(
+        F.lit("hub").alias("g"), (F.col("id") + 100).alias("m")
+    )
+    edges = pair_edges_from_groups(big, "g", "m")
+    assert edges.count() == 59999  # n-1 star edges, not n(n-1)/2
+    comp = connected_components(edges, max_iter=5)  # tight cap: must converge
+    assert comp.agg(F.count_distinct("component")).first()[0] == 1
+    assert comp.agg(F.min("component")).first()[0] == 101
+
+
 def test_ranked_by_md5_matches_global_window(spark):
     # the bucketed two-phase rank must be BYTE-identical to the
     # single-partition global rank it replaces (same id spec, new plan)
