@@ -44,6 +44,18 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 # -- n-gram Jaccard ----------------------------------------------------------
 
 
+def shingle_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Standard (_id, _sh) shingle frame — the shared first stage of the
+    Jaccard/MinHash family. Callers that run several dedup operators over
+    the same corpus should build this ONCE, persist it, and pass it via
+    the operators' ``sh=`` parameter (t06_dedup_recall does)."""
+    return docs.select(
+        F.col(id_col).alias("_id"), TX.word_shingles(F.col(text_col), n).alias("_sh")
+    ).where(F.size("_sh") > 0)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -51,6 +63,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = 1000,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jacc) for pairs with word-n-gram Jaccard >= threshold.
 
@@ -68,10 +81,8 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_freq=None`` disables the cap (pure arithmetic path).
     """
-    sh = docs.select(
-        F.col(id_col).alias("_id"), TX.word_shingles(F.col(text_col), n).alias("_sh")
-    )
-    sh = sh.where(F.size("_sh") > 0).persist()
+    if sh is None:
+        sh = shingle_docs(docs, id_col, text_col, n).persist()
     # _sh is a DISTINCT shingle array, so (id, shingle) rows are unique and
     # the shared-shingle count c per pair equals |A ∩ B| exactly — Jaccard
     # falls out arithmetically: j = c / (|A| + |B| - c). No second pass
@@ -279,6 +290,7 @@ def minhash_lsh_pairs(
     num_perm: int = 32,
     num_bands: int = 8,
     threshold: float = 0.5,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
@@ -288,11 +300,9 @@ def minhash_lsh_pairs(
     j=0.3 — recall at the threshold comes from the verify step pruning
     false positives, not from banding alone.
     """
-    sh = (
-        docs.select(F.col(id_col).alias("_id"), TX.word_shingles(F.col(text_col), n).alias("_sh"))
-        .where(F.size("_sh") > 0)
-        .persist()  # feeds signature generation + both verify joins
-    )
+    if sh is None:
+        # feeds signature generation + both verify joins
+        sh = shingle_docs(docs, id_col, text_col, n).persist()
     cand = lsh.lsh_candidate_pairs(sh, "_id", "_sh", num_perm, num_bands)
     verified = (
         cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
@@ -358,11 +368,13 @@ def simhash_pairs_exact(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Brute-force SimHash pairs (O(n²) popcount cross join) — the
     calibration baseline the banded path is measured against. The banding
     is pigeonhole-EXACT, so recall vs this baseline must be 1.0."""
-    sigs = simhash_signatures(docs, id_col, text_col)
+    if sigs is None:
+        sigs = simhash_signatures(docs, id_col, text_col)
     a = sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
     b = sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
     pairs = F.broadcast(a).crossJoin(b).where(F.col("id_a") < F.col("id_b"))
@@ -377,6 +389,7 @@ def simhash_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
@@ -388,7 +401,8 @@ def simhash_dup_pairs(
     """
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
-    sigs = simhash_signatures(docs, id_col, text_col)
+    if sigs is None:
+        sigs = simhash_signatures(docs, id_col, text_col)
     blocks = sigs.select(
         "_id",
         "_sig",

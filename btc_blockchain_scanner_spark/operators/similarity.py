@@ -32,6 +32,16 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Sequential-fold cosine — bit-reproducible against a DuckDB
+    ``list_sum(list_transform(...))`` oracle (same accumulation order).
+
+    Measured note: an Arrow-batched numpy replacement for the LSH verify
+    stages was TRIED and reverted — shipping (vec, vec) pairs through a
+    Python stage after the bucket join broke pipelining and ran 2-6x
+    SLOWER than this fold (emb_lsh 26 s -> 60 s at sf0.1). Vectorized
+    cosine only wins where a matrix is closure-broadcast and GEMM'd
+    against streamed batches (brute_force_topk / the exact-pairs
+    baseline), not per-pair post-join."""
     return dot(a, b) / (norm(a) * norm(b))
 
 

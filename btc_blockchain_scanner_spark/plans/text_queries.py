@@ -214,14 +214,23 @@ def t06_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_s = docs.where(F.col("doc_id") < 2000)  # bounds sim_exact's O(n²)
     emb_s = emb.where(F.col("vec_id") < 2000)  # bounds emb_exact's O(n²)
 
+    # stage-sharing: the n-gram families split off ONE persisted shingle
+    # frame, the simhash families ONE persisted signature frame — the
+    # expensive first stages run once, not per family.
+    sh3 = dedup.shingle_docs(docs, n=3).persist()
+    sigs = dedup.simhash_signatures(docs_s).persist()
     # every pair set is consumed twice (its own count + the match semi-join)
-    # and some are expensive O(n²) baselines — persist them all; bench/gate
-    # clearCache() between queries reclaims the memory.
-    jacc_exact = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("id_a", "id_b").persist()
-    minhash = dedup.minhash_lsh_pairs(docs, n=3, num_perm=32, num_bands=8, threshold=0.5).persist()
+    # and some are expensive O(n²) baselines — persist them all; everything
+    # is unpersisted after the 5 result rows materialize below.
+    jacc_exact = (
+        dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, sh=sh3).select("id_a", "id_b").persist()
+    )
+    minhash = dedup.minhash_lsh_pairs(
+        docs, n=3, num_perm=32, num_bands=8, threshold=0.5, sh=sh3
+    ).persist()
     winnow = dedup.winnow_dup_pairs(docs, k=5, window=4, min_shared=3).persist()
-    sim_exact = dedup.simhash_pairs_exact(docs_s, max_hamming=3).persist()
-    sim_band = dedup.simhash_dup_pairs(docs_s, max_hamming=3).persist()
+    sim_exact = dedup.simhash_pairs_exact(docs_s, max_hamming=3, sigs=sigs).persist()
+    sim_band = dedup.simhash_dup_pairs(docs_s, max_hamming=3, sigs=sigs).persist()
     emb_exact = dedup.embedding_dup_pairs(emb_s, threshold=0.35, exact=True).persist()
     emb_lsh = dedup.embedding_dup_pairs(
         emb_s, threshold=0.35, num_tables=12, planes_per_table=3
@@ -247,7 +256,9 @@ def t06_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query leaves no cache pressure behind for its 5 successors — the r01
     # driver runs all queries in one session with no cache isolation.
     rows = out.collect()
-    for df in (jacc_exact, minhash, winnow, sim_exact, sim_band, emb_exact, emb_lsh, top_exact):
+    for df in (
+        sh3, sigs, jacc_exact, minhash, winnow, sim_exact, sim_band, emb_exact, emb_lsh, top_exact,
+    ):
         df.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
