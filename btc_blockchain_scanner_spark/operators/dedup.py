@@ -192,20 +192,43 @@ def embedding_dup_pairs(
 
         return e.mapInPandas(mapper, "id_a long, id_b long, cos_sim double")
     else:
+        # candidate generation carries ONLY ids through the bucket join and
+        # the dedup shuffle (the vectors would multiply shuffle bytes by
+        # ~50x); vectors + staged norms re-attach afterwards via two narrow
+        # equi-joins that AQE broadcasts when the vector table is small.
         ba = similarity._multi_table_buckets(e, "_id", "_v", num_tables, planes_per_table, dim)
-        bb = ba.select(
-            F.col("_id").alias("id_b"), F.col("_vec").alias("vb"), "_tbl", "_bucket"
-        )
-        cand = (
-            ba.join(bb, ["_tbl", "_bucket"])
+        ids = ba.select("_id", "_tbl", "_bucket")
+        pairs = (
+            ids.join(
+                ids.select(F.col("_id").alias("id_b"), "_tbl", "_bucket"), ["_tbl", "_bucket"]
+            )
             .where(F.col("_id") < F.col("id_b"))
-            .select(F.col("_id").alias("id_a"), F.col("_vec").alias("va"), "id_b", "vb")
+            .select(F.col("_id").alias("id_a"), "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
-    from .similarity import cosine
+        from .similarity import norm
 
+        vecs = e.select("_id", F.col("_v").alias("_vec"), norm(F.col("_v")).alias("_nrm"))
+        cand = pairs.join(
+            vecs.select(
+                F.col("_id").alias("id_a"), F.col("_vec").alias("va"), F.col("_nrm").alias("na")
+            ),
+            "id_a",
+        ).join(
+            vecs.select(
+                F.col("_id").alias("id_b"), F.col("_vec").alias("vb"), F.col("_nrm").alias("nb")
+            ),
+            "id_b",
+        )
+    from .similarity import dot
+
+    # norms staged per vector (na/nb), not recomputed per candidate pair
     return (
-        cand.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        cand.select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
         .where(F.col("cos_sim") >= threshold)
     )
 

@@ -141,9 +141,13 @@ def _multi_table_buckets(
             for t in range(num_tables)
         ]
     )
+    # _nrm staged here: the verify stage divides by both sides' norms for
+    # EVERY candidate pair — computing it once per vector instead of per
+    # pair removes 2/3 of the verify fold work.
     return df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
+        norm(F.col(vec_col)).alias("_nrm"),
         F.posexplode(buckets).alias("_tbl", "_bucket"),
     )
 
@@ -167,23 +171,33 @@ def lsh_topk(
     join. Cost scales with bucket collision counts, tuned by
     planes_per_table (more planes → smaller buckets → fewer candidates,
     lower recall) and num_tables (OR-amplified recall)."""
-    q = _multi_table_buckets(queries, q_id, q_vec, num_tables, planes_per_table, dim)
-    c = _multi_table_buckets(corpus, c_id, c_vec, num_tables, planes_per_table, dim)
-    cand = (
-        q.join(
-            c.select(
-                F.col("_id").alias("c_id"),
-                F.col("_vec").alias("c_vec"),
-                F.col("_tbl"),
-                F.col("_bucket"),
-            ),
-            ["_tbl", "_bucket"],
-        )
+    # id-only candidate generation (vectors would multiply the bucket-join
+    # and dedup shuffle bytes ~50x); vectors + staged norms re-attach via
+    # narrow equi-joins that AQE broadcasts when a side is small.
+    q = _multi_table_buckets(queries, q_id, q_vec, num_tables, planes_per_table, dim).select(
+        "_id", "_tbl", "_bucket"
+    )
+    c = _multi_table_buckets(corpus, c_id, c_vec, num_tables, planes_per_table, dim).select(
+        F.col("_id").alias("c_id"), "_tbl", "_bucket"
+    )
+    pairs = (
+        q.join(c, ["_tbl", "_bucket"])
         .where(F.col("_id") != F.col("c_id"))
-        .select(F.col("_id").alias("q_id"), F.col("_vec").alias("q_vec"), "c_id", "c_vec")
+        .select(F.col("_id").alias("q_id"), "c_id")
         .dropDuplicates(["q_id", "c_id"])
     )
-    scored = cand.select("q_id", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+    qv = queries.select(
+        F.col(q_id).alias("q_id"), F.col(q_vec).alias("q_vec"), norm(F.col(q_vec)).alias("q_nrm")
+    )
+    cv = corpus.select(
+        F.col(c_id).alias("c_id"), F.col(c_vec).alias("c_vec"), norm(F.col(c_vec)).alias("c_nrm")
+    )
+    cand = pairs.join(qv, "q_id").join(cv, "c_id")
+    scored = cand.select(
+        "q_id",
+        "c_id",
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias("cos_sim"),
+    )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
