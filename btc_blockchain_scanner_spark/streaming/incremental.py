@@ -45,6 +45,44 @@ def incremental_extract(
     q.awaitTermination()
 
 
+def loop_incremental_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    stop_file: str,
+    poll_seconds: float = 0.0,
+    max_loops: int = 1000,
+    schema=None,
+) -> int:
+    """``--loop N`` + stop-file graceful shutdown, end to end.
+
+    Reference analog (SURVEY.md §2.8): RunFullScan.java:150-157 reruns the
+    incremental update every N seconds and watches a stop file each batch
+    (:506-513), renaming it on exit to acknowledge the shutdown. Here each
+    iteration is one AvailableNow drain (exactly-once via the streaming
+    checkpoint); before each iteration the stop file is checked, and on
+    stop it is renamed to ``<stop_file>.done`` — the same handshake, so an
+    operator's ``touch stop && wait-for stop.done`` works unchanged.
+
+    Returns the number of drain iterations executed. ``max_loops`` bounds
+    runaway tests; production callers pass effectively-infinite.
+    """
+    import os
+    import time
+
+    loops = 0
+    for _ in range(max_loops):
+        if os.path.exists(stop_file):
+            os.rename(stop_file, stop_file + ".done")
+            break
+        incremental_extract(spark, input_dir, output_dir, checkpoint_dir, schema)
+        loops += 1
+        if poll_seconds:
+            time.sleep(poll_seconds)
+    return loops
+
+
 def hourly_event_counts(
     spark: SparkSession,
     input_dir: str,
