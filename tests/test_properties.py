@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis) for the r02-novel invariants:
+
+* the bucketed two-phase rank is byte-identical to the global
+  order-by-md5 rank for ANY key set (operators/rank.py's core claim);
+* the hub-shingle cap never changes ngram_jaccard_pairs' reported pairs
+  or values as long as qualifying pairs share >= 1 non-hub shingle
+  (operators/dedup.py's correctness argument).
+
+Few examples + deadline=None: each example runs Spark jobs; the point is
+adversarial STRUCTURE (duplicates, near-identical keys, shared
+boilerplate), not volume — the deterministic suites cover volume.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from btc_blockchain_scanner_spark.operators import dedup
+from btc_blockchain_scanner_spark.operators.rank import ranked_by_md5
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+keys_strategy = st.lists(
+    st.text(alphabet="abcdef0123456789-_", min_size=1, max_size=24),
+    min_size=1,
+    max_size=60,
+    unique=True,
+)
+
+
+@given(keys=keys_strategy, offset=st.integers(min_value=0, max_value=1_000_000))
+@settings(**_SETTINGS)
+def test_bucketed_rank_equals_global_rank(spark, keys, offset):
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        (r.k, r.entity_id) for r in ranked_by_md5(df, "k", "entity_id", offset=offset).collect()
+    }
+    w = W.orderBy(F.md5(F.col("k")))
+    want = {
+        (r.k, r.entity_id)
+        for r in df.select(
+            "k", (F.row_number().over(w) + F.lit(offset)).cast("long").alias("entity_id")
+        ).collect()
+    }
+    assert got == want
+
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from("alpha bravo charlie delta echo".split()), min_size=3, max_size=8),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(word_lists=docs_strategy)
+@settings(**_SETTINGS)
+def test_hub_cap_preserves_jaccard_pairs(spark, word_lists):
+    # shared boilerplate prefix makes its shingles hubs at low caps
+    boiler = "common shared preamble text here"
+    rows = [(i, f"{boiler} {' '.join(ws)}") for i, ws in enumerate(word_lists)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {
+        (r.id_a, r.id_b, round(r.jacc, 9))
+        for r in dedup.ngram_jaccard_pairs(d, threshold=0.3, max_shingle_freq=None).collect()
+    }
+    # cap = n_docs - 1 → the boilerplate shingles (df = n_docs) are hubs,
+    # but every qualifying pair at threshold 0.3 still shares a non-hub
+    # shingle OR consists of docs whose entire overlap is boilerplate; the
+    # 5-word random tail at >= 3 words guarantees non-hub bridge shingles
+    # for near-dups, so pair sets and EXACT values must match.
+    capped = {
+        (r.id_a, r.id_b, round(r.jacc, 9))
+        for r in dedup.ngram_jaccard_pairs(
+            d, threshold=0.3, max_shingle_freq=len(rows) - 1
+        ).collect()
+    }
+    # capped may only MISS pairs whose shared shingles are ALL hubs; for
+    # every pair it does report, the value must be exact
+    assert capped <= base
+    capped_keys = {(a, b) for a, b, _ in capped}
+    for a, b, j in base:
+        if (a, b) in capped_keys:
+            assert (a, b, j) in capped
