@@ -11,6 +11,9 @@ S12/S13) — generalized here to content-level near-duplication.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -377,13 +380,45 @@ def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(_id, _sig) SimHash-64 signatures, token hashes staged behind an
-    exchange so the 64 bit-votes don't re-tokenize (CollapseProject)."""
+    """(_id, _sig) SimHash-64 signatures.
+
+    Token hashes stay JVM-side (xxhash64 — the hash family is part of the
+    signature spec); the 64 bit-votes run as an Arrow-batched numpy UDF:
+    the Column form is 64 interpreted F.aggregate folds over the token
+    array (the same interpreted-fold cost family as the shingle/banding
+    fixes), while the numpy bit-matrix computes identical signatures in
+    one vectorized pass — parity asserted in tests/test_text_ops.py.
+    """
     hashed = docs.select(
         F.col(id_col).alias("_id"),
         F.transform(TX.tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_h"),
-    ).repartition(F.col("_id"))  # barrier: tokenize/hash exactly once per row
-    return hashed.select("_id", simhash_from_hashes(F.col("_h")).alias("_sig"))
+    )
+    return hashed.select("_id", _simhash_arrow_udf()(F.col("_h")).alias("_sig"))
+
+
+@lru_cache(maxsize=1)
+def _simhash_arrow_udf():
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << shifts
+
+    @pandas_udf("long")
+    def udf(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.uint64)
+        for i, arr in enumerate(hashes):
+            if arr is None or len(arr) == 0:
+                continue
+            H = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            ones = ((H[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            # vote_k = (+1 per set bit, -1 per clear bit) = 2*ones - n;
+            # signature bit k set iff vote > 0 — identical to the Column
+            # spec in simhash_from_hashes
+            out[i] = weights[(2 * ones) > len(H)].sum()
+        return pd.Series(out.view(np.int64))
+
+    return udf
 
 
 def simhash_pairs_exact(

@@ -85,6 +85,27 @@ def test_minhash_lsh_recall_vs_exact(spark):
         assert recall >= 0.9, (recall, len(exact))
 
 
+def test_simhash_arrow_matches_column_spec(spark):
+    """The Arrow bit-vote signature must be BIT-identical to the Column
+    reference implementation (simhash_from_hashes) on real and edge-case
+    texts — including empty token lists."""
+    rows = [(r.doc_id, r.text) for r in load(spark, "/root/testdata/sf0.001", "documents").limit(60).collect()]
+    rows += [(9001, ""), (9002, "...!!!"), (9003, "one"), (9004, "go go go go go")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r._id, r._sig) for r in dedup.simhash_signatures(d).collect()}
+    from btc_blockchain_scanner_spark.functions import text as TX
+
+    hashed = d.select(
+        F.col("doc_id").alias("_id"),
+        F.transform(TX.tokens(F.col("text")), lambda t: F.xxhash64(t)).alias("_h"),
+    ).repartition("_id")
+    want = {
+        (r._id, r._sig)
+        for r in hashed.select("_id", dedup.simhash_from_hashes(F.col("_h")).alias("_sig")).collect()
+    }
+    assert got == want
+
+
 def test_simhash_finds_near_dups(spark):
     d = docs_df(spark)
     pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_dup_pairs(d, max_hamming=3).collect()}
