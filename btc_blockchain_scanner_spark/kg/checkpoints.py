@@ -123,9 +123,23 @@ class Manifest:
 
 def _partition_rowcount(base: str, key: str) -> int | None:
     """Row count of one hive partition from parquet footers, or None if the
-    directory is absent or any footer is unreadable (= corrupt tail)."""
+    directory is absent or any footer is unreadable (= corrupt tail).
+
+    LOCAL-FILESYSTEM ONLY: the footer walk uses os/glob. On an HDFS/S3
+    path every partition would silently read as "absent", validated_done
+    would mark nothing done, and resume would quietly re-extract the whole
+    input — correct output, but the incremental feature would be disabled
+    with no signal. We raise instead; the cluster deployment routes this
+    through the Hadoop FileSystem API (or Iceberg snapshot metadata, which
+    replaces this whole check)."""
     import pyarrow.parquet as pq
 
+    if "://" in base and not base.startswith("file:"):
+        raise NotImplementedError(
+            f"tail validation reads local parquet footers; got non-local "
+            f"path {base!r} — wire the Hadoop FileSystem API (or Iceberg "
+            "snapshot metadata) for cluster deployments"
+        )
     pdir = os.path.join(base, f"partition_key={key}")
     if not os.path.isdir(pdir):
         return None

@@ -92,25 +92,30 @@ def ngram_jaccard_pairs(
     # over the arrays, no verify join; one shuffle for the pair groupBy.
     exploded = sh.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_g"))
 
-    hub_list: list[str] = []
+    n_hubs = 0
     if max_shingle_freq is not None:
         hubs = (
             exploded.groupBy("_g")
             .agg(F.count("*").alias("_df"))
             .where(F.col("_df") > max_shingle_freq)
+            .select("_g")
         )
-        # Hub shingles number <= total_incidences / cap by construction;
-        # they are collected once (driver-side, like the reference's hot
-        # address cache) and re-enter the plan as a broadcast literal.
-        hub_list = [r["_g"] for r in hubs.select("_g").limit(100_001).collect()]
-        if len(hub_list) > 100_000:
+        # Hub shingles number <= total_incidences / cap by construction —
+        # a tiny dim that stays a BROADCAST DATAFRAME throughout. (A
+        # literal F.array(*[F.lit(g) ...]) was tried first: Catalyst plans
+        # degrade to minutes of analysis at a few thousand literal
+        # expressions, far below any useful cap.)
+        hubs = hubs.persist()
+        n_hubs = hubs.count()
+        if n_hubs > 100_000:
             raise ValueError(
                 "ngram_jaccard_pairs: >100k hub shingles above "
                 f"max_shingle_freq={max_shingle_freq}; raise the cap or use "
                 "minhash_lsh_pairs for this corpus"
             )
-        if hub_list:
-            exploded = exploded.join(F.broadcast(hubs.select("_g")), "_g", "left_anti")
+        exploded_all = exploded
+        if n_hubs:
+            exploded = exploded.join(F.broadcast(hubs), "_g", "left_anti")
 
     cand = (
         exploded.alias("a")
@@ -123,17 +128,27 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("_c"))
     )
-    if hub_list:
-        # Add back the hub-shingle overlap so jacc is exact. Each doc's hub
-        # subset is bounded by len(hub_list) — tiny arrays, broadcast join.
-        hub_arr = F.array(*[F.lit(g) for g in hub_list])
-        hsub = sh.select("_id", F.array_intersect("_sh", hub_arr).alias("_hub"))
+    if n_hubs:
+        # Add back the hub-shingle overlap so jacc is exact: each doc's hub
+        # subset comes from a semi join against the hub dim (never a giant
+        # literal array), re-packed per doc — bounded by n_hubs per row.
+        hsub = (
+            exploded_all.join(F.broadcast(hubs), "_g", "left_semi")
+            .groupBy("_id")
+            .agg(F.collect_list("_g").alias("_hub"))
+        )
+        empty = F.array().cast("array<string>")
         # plain equi-joins: cand is post-threshold-small, hsub is one tiny
         # array per doc; AQE picks broadcast for whichever side is small.
+        # LEFT joins: docs with no hub shingles are absent from hsub.
         cand = (
-            cand.join(hsub.withColumnRenamed("_id", "id_a").withColumnRenamed("_hub", "_ha"), "id_a")
-            .join(hsub.withColumnRenamed("_id", "id_b").withColumnRenamed("_hub", "_hb"), "id_b")
-            .withColumn("_c", F.col("_c") + F.size(F.array_intersect("_ha", "_hb")))
+            cand.join(hsub.withColumnRenamed("_id", "id_a").withColumnRenamed("_hub", "_ha"), "id_a", "left")
+            .join(hsub.withColumnRenamed("_id", "id_b").withColumnRenamed("_hub", "_hb"), "id_b", "left")
+            .withColumn(
+                "_c",
+                F.col("_c")
+                + F.size(F.array_intersect(F.coalesce("_ha", empty), F.coalesce("_hb", empty))),
+            )
         )
     jacc = F.col("_c").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_c")).cast("double")
     return cand.select("id_a", "id_b", jacc.alias("jacc")).where(F.col("jacc") >= threshold)
@@ -186,7 +201,12 @@ def embedding_dup_pairs(
                 C = np.array(list(pdf["_v"]), dtype=np.float64)
                 cids = pdf["_id"].to_numpy()
                 cn = np.linalg.norm(C, axis=1)
-                S = (C @ M.T) / np.outer(cn, mn)
+                # zero-norm guard: inf divisor → cos 0, which cleanly fails
+                # the threshold instead of producing NaN (NaN >= t is False
+                # in numpy but poisons any later ordering).
+                S = (C @ M.T) / np.outer(
+                    np.where(cn == 0, np.inf, cn), np.where(mn == 0, np.inf, mn)
+                )
                 mask = (S >= thr) & (cids[:, None] < ids[None, :])
                 ai, bj = np.nonzero(mask)
                 yield pd.DataFrame(
@@ -225,12 +245,16 @@ def embedding_dup_pairs(
         )
     from .similarity import dot
 
-    # norms staged per vector (na/nb), not recomputed per candidate pair
+    # norms staged per vector (na/nb), not recomputed per candidate pair;
+    # nullif → zero-norm cosine is NULL and fails the threshold filter
     return (
         cand.select(
             "id_a",
             "id_b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+            (
+                dot(F.col("va"), F.col("vb"))
+                / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

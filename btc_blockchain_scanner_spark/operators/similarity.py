@@ -41,8 +41,14 @@ def cosine(a: Column, b: Column) -> Column:
     SLOWER than this fold (emb_lsh 26 s -> 60 s at sf0.1). Vectorized
     cosine only wins where a matrix is closure-broadcast and GEMM'd
     against streamed batches (brute_force_topk / the exact-pairs
-    baseline), not per-pair post-join."""
-    return dot(a, b) / (norm(a) * norm(b))
+    baseline), not per-pair post-join.
+
+    Zero-norm guard: nullif on the divisor — a zero vector's cosine is
+    NULL (undefined), which fails every threshold filter and sorts LAST in
+    desc windows; without it ANSI double division yields NaN, which Spark
+    orders ABOVE every number and would rank a zero vector as everyone's
+    top neighbor."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def brute_force_topk(
@@ -71,6 +77,7 @@ def brute_force_topk(
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qn = np.linalg.norm(Q, axis=1)
+    qz = qn == 0  # zero-norm queries have no defined cosine
     keep = k + 8  # tie slack at the per-batch pruning boundary
 
     def mapper(batches):
@@ -82,7 +89,13 @@ def brute_force_topk(
             C = np.array(list(pdf["_cv"]), dtype=np.float64)
             cids = pdf["_cid"].to_numpy()
             cn = np.linalg.norm(C, axis=1)
-            S = (C @ Q.T) / np.outer(cn, qn)
+            cz = cn == 0
+            # zero-norm guard: 0/0 is NaN, and Spark orders NaN ABOVE every
+            # double in a desc window — a zero vector would become everyone's
+            # top-1. Mask those rows/cols to -inf (dropped like self-matches).
+            S = (C @ Q.T) / np.outer(np.where(cz, np.inf, cn), np.where(qz, np.inf, qn))
+            S[cz, :] = -np.inf
+            S[:, qz] = -np.inf
             S[cids[:, None] == qids[None, :]] = -np.inf  # self-match
             m = min(keep, S.shape[0])
             out_q, out_c, out_s = [], [], []
@@ -196,7 +209,10 @@ def lsh_topk(
     scored = cand.select(
         "q_id",
         "c_id",
-        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias("cos_sim"),
+        (
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / F.nullif(F.col("q_nrm") * F.col("c_nrm"), F.lit(0.0))
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
     return (

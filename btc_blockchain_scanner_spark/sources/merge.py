@@ -39,6 +39,11 @@ def _atomic_swap(df: DataFrame, target: str) -> None:
     df.write.mode("overwrite").parquet(tmp)
     back = target.rstrip("/") + "._old"
     if os.path.isdir(target):
+        # A crash after installing the new target but before the rmtree
+        # below leaves a stale ``._old`` alongside a healthy target;
+        # _recover_swap deliberately ignores that state (target exists), so
+        # clear it here or this os.rename fails with ENOTEMPTY forever.
+        shutil.rmtree(back, ignore_errors=True)
         os.rename(target, back)
     os.rename(tmp, target)
     shutil.rmtree(back, ignore_errors=True)

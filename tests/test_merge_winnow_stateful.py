@@ -64,6 +64,32 @@ def test_merge_recovers_interrupted_swap(spark, tmp_path):
     assert got == {(1, "a"), (2, "B"), (3, "c")}
 
 
+def test_merge_clears_stale_backup(spark, tmp_path):
+    """Crash AFTER installing the new target but before deleting the backup
+    leaves target AND <target>._old; subsequent merges must clear the stale
+    backup instead of failing the os.rename with ENOTEMPTY forever."""
+    import os
+
+    from btc_blockchain_scanner_spark.sources import merge
+
+    target = str(tmp_path / "t4")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    merge.merge_upsert(spark, target, base, ["k"])
+    # simulate the post-install crash state: healthy target + stale backup
+    os.mkdir(target + "._old")
+    with open(target + "._old/junk", "w") as f:
+        f.write("stale")
+    upd = spark.createDataFrame([(3, "c")], "k long, v string")
+    res = merge.merge_upsert(spark, target, upd, ["k"])
+    assert res["inserted"] == 1 and res["kept"] == 2
+    # and again — the state must not wedge repeat merges either
+    res2 = merge.merge_upsert(spark, target, spark.createDataFrame([(4, "d")], "k long, v string"), ["k"])
+    assert res2["inserted"] == 1
+    got = {r.k for r in spark.read.parquet(target).collect()}
+    assert got == {1, 2, 3, 4}
+    assert not os.path.isdir(target + "._old")
+
+
 def test_winnow_guarantee(spark):
     # docs sharing a >= k+window-1 = 8-word run must share a fingerprint
     common = "alpha beta gamma delta epsilon zeta eta theta"

@@ -114,6 +114,34 @@ def test_simhash_finds_near_dups(spark):
     assert (1, 4) not in pairs
 
 
+def test_zero_norm_vectors_never_rank(spark):
+    """A zero-norm vector has undefined cosine; it must neither appear as a
+    neighbor nor pull in dup pairs (regression: NaN sorts above every double
+    in Spark desc windows, so an unguarded 0/0 made zero vectors everyone's
+    top-1)."""
+    from btc_blockchain_scanner_spark.operators.dedup import embedding_dup_pairs
+    from btc_blockchain_scanner_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero-norm
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = brute_force_topk(e, e, k=1).collect()
+    assert all(r.c_id != 2 for r in top), "zero vector ranked as a neighbor"
+    assert all(r.q_id != 2 for r in top), "zero query produced a neighbor"
+    topl = lsh_topk(e, e, k=1, num_tables=4, planes_per_table=2, dim=4).collect()
+    assert all(r.c_id != 2 and r.q_id != 2 for r in topl)
+    for exact in (True, False):
+        pairs = embedding_dup_pairs(
+            e, threshold=0.5, exact=exact, num_tables=4, planes_per_table=2, dim=4
+        ).collect()
+        assert all(2 not in (r.id_a, r.id_b) for r in pairs), f"exact={exact}"
+        assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}, f"exact={exact}"
+
+
 def test_ann_lsh_recall_vs_brute_force(spark):
     emb = load(spark, "/root/testdata/sf0.001", "embeddings")
     q = emb.where(F.col("vec_id") < 30)
