@@ -80,22 +80,34 @@ def main() -> None:
     headline_total = round(
         sum(timings[n] for n in HEADLINE + ["kg_pipeline_e2e", "kg_extract_throughput"]), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": headline_total,
-                "unit": "sec",
-                "all_queries_total": round(sum(timings.values()), 3),
-                "queries": timings,
-                "dedup_recall": recall_rows,
-                "sf": SF_DIR,
-                "cpus": CPUS,
-                **kg_stats,
-            }
-        )
-    )
-    spark.stop()
+    record = {
+        "metric": "headline_queries_total_wall",
+        "value": headline_total,
+        "unit": "sec",
+        "all_queries_total": round(sum(timings.values()), 3),
+        "queries": timings,
+        "dedup_recall": recall_rows,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        **kg_stats,
+    }
+    # Full record goes to a FILE; stdout gets one compact line, LAST, under
+    # the driver's 2000-char stdout-tail capture (r02 lesson: the full line
+    # overflowed the tail and the round's bench artifact parsed as null).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(record, f, indent=1)
+    spark.stop()  # Spark's shutdown chatter must not land after our line
+
+    compact = dict(record)
+    compact.pop("dedup_recall", None)
+    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # still too big: keep headline timings only
+        compact["queries"] = {k: round(timings[k], 2) for k in HEADLINE if k in timings}
+        compact["queries_truncated_see"] = "BENCH_FULL.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line, flush=True)
 
 
 def _kg_sections(spark, timings: dict) -> dict:
