@@ -64,9 +64,13 @@ def synthesize_assets(spark: SparkSession, n: int = 100, partitions: int = 8) ->
             "kind"
         ),
     )
-    # payload: sha2 of the id, repeated 4x, as binary (~256 bytes)
-    payload = F.to_binary(
-        F.repeat(F.sha2(F.col("asset_id").cast("string"), 256), 4), F.lit("hex")
+    # payload: sha2 hex of the id, repeated 4x, as UTF-8 bytes (256 bytes).
+    # ASCII-range bytes on purpose: the DuckDB oracle (mm01) has no BLOB
+    # digest function, but sha256(payload::VARCHAR) over ASCII bytes hashes
+    # the identical byte stream Python's hashlib sees — exact sha parity.
+    # The engine still treats payload as opaque binary throughout.
+    payload = F.encode(
+        F.repeat(F.sha2(F.col("asset_id").cast("string"), 256), 4), "UTF-8"
     )
     meta = F.struct(
         (F.pmod(F.xxhash64(F.col("asset_id"), F.lit("w")), F.lit(1920)) + 1)

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators import graph, multimodal
 from ..sources.tables import load
+from . import synth
 from .registry import query
 
 
@@ -82,11 +83,25 @@ def o04_pivot_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("g01_bfs_closure")  # rows-only: iterative frontier loop (M7)
+@query(
+    "g01_bfs_closure",
+    oracle="""
+    WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS m FROM lineitem),
+    gm AS (SELECT g, MIN(m) AS gmin FROM d GROUP BY g),
+    e0 AS (SELECT DISTINCT gmin AS src, m AS dst FROM d JOIN gm USING (g) WHERE m <> gmin),
+    und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    walk(node, hops) AS (
+      SELECT node, 0 FROM (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) s(node)
+      UNION
+      SELECT u.dst, w.hops + 1 FROM walk w JOIN und u ON u.src = w.node WHERE w.hops < 3)
+    SELECT node, CAST(MIN(hops) AS INT) AS hops FROM walk GROUP BY node
+    """,
+)
 def g01_bfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure from hub parts over the co-order graph — the
     related-address BFS (db/DbQueries.java:39-64). Iterative frontier join
-    with visited pruning; python-BFS-verified in tests."""
+    with visited pruning; the oracle is an independent WITH RECURSIVE
+    min-hop walk over the same star edges (kg04 pattern)."""
     li = load(spark, sf_dir, "lineitem")
     from ..operators.cc import pair_edges_from_groups
 
@@ -95,20 +110,40 @@ def g01_bfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_reachable(edges, sources, max_hops=3)
 
 
-@query("mm01_asset_features")  # rows-only: mapInPandas binary decode (stub)
+_MM_N = 200  # asset count is sf-independent; oracle path must match
+
+
+@query(
+    "mm01_asset_features",
+    oracle=f"""
+    SELECT asset_id, kind, sha256(CAST(payload AS VARCHAR)) AS payload_sha,
+           CAST(octet_length(payload) AS INT) AS n_bytes
+    FROM read_parquet('{synth.assets_path(_MM_N)}/*.parquet')
+    """,
+)
 def mm01_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction: binary payload → float vector via
     Arrow-batched mapInPandas (deterministic stub decode; see
-    operators/multimodal.py)."""
-    assets = multimodal.synthesize_assets(spark, n=200)
+    operators/multimodal.py). The metadata outputs (payload sha / byte
+    count) are oracle-checked over the materialized asset table; the
+    feature vector itself is pytest-verified (stub decode)."""
+    assets = synth.materialized_assets(spark, n=_MM_N)
     return multimodal.extract_features(assets, dim=16).drop("feature").withColumn(
         "n_bytes", F.col("n_bytes").cast("int")
     )
 
 
-@query("mm02_frame_sample")  # rows-only: metadata-driven frame grid
+@query(
+    "mm02_frame_sample",
+    oracle=f"""
+    SELECT asset_id, CAST(u.f AS INT) AS frame_ts_ms
+    FROM read_parquet('{synth.assets_path(_MM_N)}/*.parquet'),
+         unnest(range(0, meta.duration_ms + 1, 10000)) AS u(f)
+    WHERE kind = 'video'
+    """,
+)
 def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling grid from typed metadata only — the payload
     column never leaves the scan (column pruning on binary)."""
-    assets = multimodal.synthesize_assets(spark, n=200)
+    assets = synth.materialized_assets(spark, n=_MM_N)
     return multimodal.frame_sample(assets, every_ms=10000)

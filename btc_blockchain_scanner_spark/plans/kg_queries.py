@@ -21,9 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..kg import datagen, extract
+from ..kg import extract
+from ..kg.vocab import ALIASES
 from ..operators.cc import connected_components, pair_edges_from_groups
 from ..sources.tables import load
+from . import synth
 from .registry import query
 
 DOC_ENTITIES = ("spark", "table", "window", "stream", "batch", "query", "vector", "column", "row", "data")
@@ -270,23 +272,85 @@ def _sf_scale(sf_dir: str) -> int:
     return 1000
 
 
-@query("kg10_transcript_triples")  # rows-only: Arrow pandas UDF extraction
+# ---- transcript-domain oracles (VERDICT r02 item 2) -------------------------
+# The driver's gate runs at sf0.01 → n_convs=200; the deterministic
+# transcripts are materialized to a shared parquet path by the Spark query
+# itself (plans/synth.py), and the oracle reads the SAME bytes back.
+from ..kg.vocab import ALL_SURFACES, PREDICATES  # noqa: E402
+
+_T_PATH = synth.transcripts_path(200) + "/*.parquet"
+_T_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_T_SURF = "[" + ",".join(f"'{s}'" for s in ALL_SURFACES) + "]"
+_T_PREDS = "[" + ",".join(f"'{p}'" for p in PREDICATES) + "]"
+_T_ALIAS_CASE = (
+    "CASE tok "
+    + " ".join(f"WHEN '{a}' THEN '{e}'" for a, e in ALIASES.items())
+    + " ELSE tok END"
+)
+
+
+@query(
+    "kg10_transcript_triples",
+    oracle=f"""
+    WITH t AS (SELECT conv_id, turn_idx, {_T_TOKS} AS toks
+               FROM read_parquet('{_T_PATH}'))
+    SELECT conv_id, turn_idx,
+           toks[i] AS subj_surface, toks[i+1] AS pred, toks[i+2] AS obj_surface,
+           CAST(i - 1 AS INT) AS subj_pos
+    FROM t, unnest(range(1, greatest(len(toks) - 1, 1))) AS u(i)
+    WHERE list_contains({_T_SURF}, toks[i])
+      AND list_contains({_T_PREDS}, toks[i+1])
+      AND list_contains({_T_SURF}, toks[i+2])
+    """,
+)
 def kg10_transcript_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triple extraction over the deterministic synthetic transcripts via
-    the Arrow-vectorized pandas UDF (the production extraction path;
-    exact-oracle-tested in tests/test_datagen_extract.py)."""
-    tr = datagen.transcripts(spark, n_convs=_sf_scale(sf_dir))
+    the Arrow-vectorized pandas UDF (the PRODUCTION extraction path —
+    RunFullScan.processTransaction analog). The oracle re-derives the
+    triples in pure SQL from the materialized transcript bytes: the i/i+2
+    mention + i+1 predicate adjacency with 0-based subj_pos."""
+    tr = synth.materialized_transcripts(spark, n_convs=_sf_scale(sf_dir))
     ex = extract.extract(tr)
     return extract.triples_from(ex)
 
 
-@query("kg11_transcript_canon")  # rows-only: iterative CC
+@query(
+    "kg11_transcript_canon",
+    oracle=f"""
+    WITH RECURSIVE t AS (SELECT conv_id, turn_idx, {_T_TOKS} AS toks
+               FROM read_parquet('{_T_PATH}')),
+    men AS (SELECT conv_id, turn_idx, tok
+            FROM (SELECT conv_id, turn_idx, unnest(toks) AS tok FROM t)
+            WHERE list_contains({_T_SURF}, tok)),
+    keyed AS (SELECT conv_id, turn_idx, {_T_ALIAS_CASE} AS ekey FROM men),
+    ids AS (SELECT ekey, CAST(dense_rank() OVER (ORDER BY md5(ekey)) AS INT) AS entity_id
+            FROM (SELECT DISTINCT ekey FROM keyed)),
+    inc AS (SELECT DISTINCT k.conv_id || '#' || CAST(k.turn_idx AS VARCHAR) AS tk,
+                   i.entity_id AS member
+            FROM keyed k JOIN ids i ON i.ekey = k.ekey),
+    gm AS (SELECT tk, MIN(member) AS gmin FROM inc GROUP BY tk),
+    e0 AS (SELECT DISTINCT gmin AS src, member AS dst
+           FROM inc JOIN gm USING (tk) WHERE member <> gmin),
+    und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    reach(src, dst) AS (
+      SELECT entity_id, entity_id FROM ids
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst)
+    SELECT i.entity_id, CAST(MIN(r.dst) AS INT) AS canon_id
+    FROM ids i JOIN reach r ON r.src = i.entity_id
+    GROUP BY i.entity_id
+    """,
+)
 def kg11_transcript_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity canon map over synthetic transcripts: link mentions (broadcast
-    alias dict + LSH fallback), co-mention edges, iterative CC."""
+    alias dict + LSH fallback), co-mention star edges, iterative CC. The
+    oracle independently rebuilds the whole chain in SQL — alias CASE
+    resolution, dense_rank-of-md5 entity ids, per-turn star edges, and a
+    WITH RECURSIVE min-label transitive closure (kg04 pattern, transcript
+    domain)."""
     from ..kg import canonicalize, link
 
-    tr = datagen.transcripts(spark, n_convs=_sf_scale(sf_dir))
+    tr = synth.materialized_transcripts(spark, n_convs=_sf_scale(sf_dir))
     # persist the flattened mentions: linking, co-mention edges, and CC all
     # branch from it — without this the Arrow extraction re-runs per action
     mentions = extract.mentions_from(extract.extract(tr)).persist()

@@ -1,0 +1,57 @@
+"""Deterministic synthetic-input materialization for oracle parity.
+
+The transcript/asset queries (kg10+, mm01+) run over generated-in-Spark
+inputs, which DuckDB cannot see — so their oracle checks were rows-only.
+Fix (VERDICT r02 items 2 & 7): the query materializes its deterministic
+input to a well-known parquet path on first use, and the oracle SQL reads
+the SAME bytes back with ``read_parquet``. Generation is a pure function
+of (n, seed) at any parallelism (kg/datagen.py docstring), so the
+materialized table is reproducible; the path embeds (n, seed, version) and
+an existing ``_SUCCESS`` marker short-circuits re-writes.
+
+On a cluster this directory is a shared staging prefix (the reference's
+block-file staging dir, RunPrepareBlockFiles.java:49-86); locally /tmp.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+SYNTH_DIR = "/tmp/spark_graft_synth"
+_V = "v1"  # bump when datagen/asset generation changes
+
+
+def transcripts_path(n_convs: int, seed: int = 42) -> str:
+    return f"{SYNTH_DIR}/transcripts_{_V}_n{n_convs}_s{seed}"
+
+
+def assets_path(n: int) -> str:
+    return f"{SYNTH_DIR}/assets_{_V}_n{n}"
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def materialized_transcripts(spark: SparkSession, n_convs: int, seed: int = 42) -> DataFrame:
+    """Transcripts table, written once to the shared path, read back —
+    both the Spark query and the DuckDB oracle consume identical bytes."""
+    from ..kg import datagen
+
+    path = transcripts_path(n_convs, seed)
+    if not _done(path):
+        datagen.transcripts(spark, n_convs=n_convs, seed=seed).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def materialized_assets(spark: SparkSession, n: int) -> DataFrame:
+    from ..operators import multimodal
+
+    path = assets_path(n)
+    if not _done(path):
+        multimodal.synthesize_assets(spark, n=n).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
