@@ -51,15 +51,13 @@ def a07_rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.rollup("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
 
 
-@query(
-    "a08_cube_priority",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
 def a08_cube_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dimensions — all grouping-set combinations."""
+    """CUBE over two dimensions — all grouping-set combinations.
+
+    NOT registered with the driver (50-row cap, plans/__init__.py): cube is
+    covered by the a07 ROLLUP grouping-sets row; this stays a library
+    function with a DuckDB-equivalence pytest (tests/test_pipeline.py),
+    the same documented rotation as q06/q13 in round 2."""
     o = load(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
 

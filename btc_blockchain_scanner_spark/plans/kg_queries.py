@@ -272,6 +272,63 @@ def _sf_scale(sf_dir: str) -> int:
     return 1000
 
 
+# ---- tags schema (create-db-structure-tags.sql analog) ----------------------
+
+_TAG_NAMES = ("compute", "storage", "format")
+# curated (display_name → tag name) rules — the wallet_tag CSV analog;
+# several DOC_ENTITIES stay untagged so the empty-array default is exercised
+_TAG_RULES = (
+    ("spark", "compute"),
+    ("stream", "compute"),
+    ("query", "compute"),
+    ("table", "storage"),
+    ("row", "storage"),
+    ("column", "format"),
+    ("vector", "format"),
+)
+
+
+@query(
+    "kg12_tagged_nodes",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+    s AS (SELECT DISTINCT tok AS surface
+          FROM (SELECT unnest(toks) AS tok FROM t)
+          WHERE list_contains({_D_ENTS}, tok)),
+    ids AS (SELECT surface, CAST(dense_rank() OVER (ORDER BY md5(surface)) AS BIGINT) AS node_id
+            FROM s),
+    rules(surface, tag) AS (VALUES {", ".join(f"('{s}', '{t}')" for s, t in _TAG_RULES)}),
+    per_node AS (SELECT i.node_id, list_sort(list(DISTINCT r.tag)) AS tags
+                 FROM ids i JOIN rules r ON r.surface = i.surface
+                 GROUP BY i.node_id)
+    SELECT i.node_id, i.surface, COALESCE(p.tags, CAST([] AS VARCHAR[])) AS tags
+    FROM ids i LEFT JOIN per_node p USING (node_id)
+    """,
+)
+def kg12_tagged_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tags schema end-to-end (reference create-db-structure-tags.sql:1-31):
+    deterministic tag dimension (rank-of-md5 ids), curated rules → entity_tag
+    link table, read-side join-back decorating every node with a sorted
+    (possibly empty) tag-name array — the F8 coalesce shape."""
+    from ..kg import tags as tagmod
+    from ..operators.rank import ranked_by_md5
+
+    t = _doc_tokens(spark, sf_dir)
+    surfaces = (
+        t.select(F.explode("toks").alias("surface"))
+        .where(F.col("surface").isin(*DOC_ENTITIES))
+        .distinct()
+    )
+    nodes = ranked_by_md5(surfaces, "surface", "node_id").select("node_id", "surface")
+    tagd = tagmod.tag_dim(spark, list(_TAG_NAMES))
+    rules = spark.createDataFrame(list(_TAG_RULES), "display_name string, name string")
+    entities = nodes.select(
+        F.col("node_id").cast("int").alias("entity_id"), F.col("surface").alias("display_name")
+    )
+    et = tagmod.tag_entities(entities, rules, tagd)
+    return tagmod.tagged_nodes(nodes, et, tagd)
+
+
 # ---- transcript-domain oracles (VERDICT r02 item 2) -------------------------
 # The driver's gate runs at sf0.01 → n_convs=200; the deterministic
 # transcripts are materialized to a shared parquet path by the Spark query

@@ -132,6 +132,29 @@ def test_entity_tags_side_tables(spark, run_dir):
     assert got == {some[0]: ["org", "tool"], some[1]: ["org"]}
 
 
+def test_unregistered_cube_still_correct(spark):
+    """a08 left the driver registry in round 3 (50-row cap; kg12 tags query
+    took its slot) but the CUBE grouping-sets op stays correct."""
+    import duckdb
+
+    from btc_blockchain_scanner_spark.plans.extended_queries import a08_cube_priority
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    got = {
+        (r.o_orderstatus, r.o_orderpriority, r.n)
+        for r in a08_cube_priority(spark, sf).collect()
+    }
+    want = set(
+        con.execute(
+            """SELECT o_orderstatus, o_orderpriority, COUNT(*)
+               FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+        ).fetchall()
+    )
+    assert got == want
+
+
 def test_unregistered_tpch_queries_still_correct(spark):
     """q06/q13 left the driver registry (50-row cap) but stay correct."""
     import duckdb
