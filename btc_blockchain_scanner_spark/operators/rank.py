@@ -45,7 +45,7 @@ def ranked_by_md5(
     key_col: str,
     id_col: str = "entity_id",
     offset: int = 0,
-    prefix_len: int = 2,
+    prefix_len: int | None = None,
 ) -> DataFrame:
     """Append ``id_col`` = offset + rank of md5(key_col) among all rows.
 
@@ -53,7 +53,18 @@ def ranked_by_md5(
     and identical to ``row_number() over (order by md5(key_col))`` — but
     computed with no single-partition exchange (see module docstring).
     ``id_col`` is LONG; callers cast down if they store int.
+
+    ``prefix_len=None`` (default) picks the bucket width from the key
+    count: 2 hex chars (256 buckets) below 10 M keys, 3 (4096) below 1 B,
+    4 above — at the reference's 650 M-address scale that bounds a bucket
+    task to ~160 k rows instead of ~2.5 M. The id SPEC is identical at any
+    width (property-tested), so oracles never change; only the physical
+    fan-out does. The sizing count is one cheap aggregate over the (already
+    distinct) key set — noise next to the rank's own shuffle.
     """
+    if prefix_len is None:
+        n = df.count()
+        prefix_len = 2 if n < 10_000_000 else (3 if n < 1_000_000_000 else 4)
     d = df.withColumn("_m", F.md5(F.col(key_col))).withColumn(
         "_b", F.conv(F.substring(F.col("_m"), 1, prefix_len), 16, 10).cast("int")
     )

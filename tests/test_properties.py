@@ -37,9 +37,6 @@ keys_strategy = st.lists(
 @settings(**_SETTINGS)
 def test_bucketed_rank_equals_global_rank(spark, keys, offset):
     df = spark.createDataFrame([(k,) for k in keys], "k string")
-    got = {
-        (r.k, r.entity_id) for r in ranked_by_md5(df, "k", "entity_id", offset=offset).collect()
-    }
     w = W.orderBy(F.md5(F.col("k")))
     want = {
         (r.k, r.entity_id)
@@ -47,7 +44,14 @@ def test_bucketed_rank_equals_global_rank(spark, keys, offset):
             "k", (F.row_number().over(w) + F.lit(offset)).cast("long").alias("entity_id")
         ).collect()
     }
-    assert got == want
+    # the id spec must be identical at EVERY bucket width (the scale-aware
+    # default picks the width from the key count; widening never changes ids)
+    for pl in (None, 1, 3):
+        got = {
+            (r.k, r.entity_id)
+            for r in ranked_by_md5(df, "k", "entity_id", offset=offset, prefix_len=pl).collect()
+        }
+        assert got == want, f"prefix_len={pl}"
 
 
 docs_strategy = st.lists(
