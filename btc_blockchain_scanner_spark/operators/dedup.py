@@ -214,22 +214,33 @@ def embedding_dup_pairs(
                 )
 
         return e.mapInPandas(mapper, "id_a long, id_b long, cos_sim double")
-    else:
-        # candidate generation carries ONLY ids through the bucket join and
-        # the dedup shuffle (the vectors would multiply shuffle bytes by
-        # ~50x); vectors + staged norms re-attach afterwards via two narrow
-        # equi-joins that AQE broadcasts when the vector table is small.
-        ba = similarity._multi_table_buckets(e, "_id", "_v", num_tables, planes_per_table, dim)
-        ids = ba.select("_id", "_tbl", "_bucket")
-        pairs = (
-            ids.join(
-                ids.select(F.col("_id").alias("id_b"), "_tbl", "_bucket"), ["_tbl", "_bucket"]
-            )
-            .where(F.col("_id") < F.col("id_b"))
-            .select(F.col("_id").alias("id_a"), "id_b")
-            .dropDuplicates(["id_a", "id_b"])
+    # candidate generation carries ONLY ids through the bucket join and
+    # the dedup shuffle (the vectors would multiply shuffle bytes by
+    # ~50x); vectors re-attach at the verify stage.
+    ba = similarity._multi_table_buckets(e, "_id", "_v", num_tables, planes_per_table, dim)
+    ids = ba.select("_id", "_tbl", "_bucket")
+    pairs = (
+        ids.join(
+            ids.select(F.col("_id").alias("id_b"), "_tbl", "_bucket"), ["_tbl", "_bucket"]
         )
-        from .similarity import norm
+        .where(F.col("_id") < F.col("id_b"))
+        .select(F.col("_id").alias("id_a"), "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # Verify strategy is size-aware. When the vector table is bounded
+    # (fits a closure broadcast, same contract as the exact path), the
+    # candidates are scored by a gathered row-wise einsum — no vector
+    # shuffle, no per-pair JVM fold (the fold was ~80% of emb_lsh's wall
+    # at weak thresholds where candidates are dense: 16.4 s → 3.9 s at
+    # 2000×64/0.35). Past the bound, vectors + staged norms re-attach via
+    # two narrow equi-joins and the JVM fold scores each pair — the
+    # unbounded-scale path (an attached-pairs pandas verify was tried and
+    # is 2-6x SLOWER there; see cosine()'s measured note).
+    n_vecs = e.count()
+    if n_vecs * dim <= 20_000_000:  # ~160 MB of float64 in the closure
+        scored = similarity.gather_verify_pairs(pairs, e)
+    else:
+        from .similarity import dot, norm
 
         vecs = e.select("_id", F.col("_v").alias("_vec"), norm(F.col("_v")).alias("_nrm"))
         cand = pairs.join(
@@ -243,12 +254,9 @@ def embedding_dup_pairs(
             ),
             "id_b",
         )
-    from .similarity import dot
-
-    # norms staged per vector (na/nb), not recomputed per candidate pair;
-    # nullif → zero-norm cosine is NULL and fails the threshold filter
-    return (
-        cand.select(
+        # norms staged per vector, not recomputed per candidate pair;
+        # nullif → zero-norm cosine is NULL and fails the threshold filter
+        scored = cand.select(
             "id_a",
             "id_b",
             (
@@ -256,8 +264,7 @@ def embedding_dup_pairs(
                 / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
             ).alias("cos_sim"),
         )
-        .where(F.col("cos_sim") >= threshold)
-    )
+    return scored.where(F.col("cos_sim") >= threshold)
 
 
 # -- winnowing fingerprints ---------------------------------------------------

@@ -120,49 +120,131 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_sig(vec: Column, num_planes: int, dim: int, seed: int = 7) -> Column:
-    """Random-hyperplane LSH signature: bit j = sign(<v, r_j>) where r_j is a
-    deterministic pseudo-random ±1 vector derived from xxhash64(seed,j,i)."""
-    sig = F.lit(0).cast("long")
-    for j in range(num_planes):
-        # ±1 pattern per dimension, folded against the vector
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i: x.cast("double")
-                * F.when(F.xxhash64(F.lit(seed), F.lit(j), i) % 2 == 0, 1.0).otherwise(-1.0),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+def _plane_matrix(dim: int, num_tables: int, planes_per_table: int) -> "np.ndarray":
+    """Deterministic ±1 hyperplane matrix, shape (tables*planes, dim).
+
+    Entries derive from a vectorized splitmix64 of (table, plane, dim-index)
+    — a pure function with no RNG state, so every executor materializes the
+    identical matrix from the closure (same determinism argument as
+    kg/datagen.py)."""
+    import numpy as np
+
+    U = np.uint64
+    tt, pp, ii = np.meshgrid(
+        np.arange(num_tables, dtype=np.int64),
+        np.arange(planes_per_table, dtype=np.int64),
+        np.arange(dim, dtype=np.int64),
+        indexing="ij",
+    )
+    with np.errstate(over="ignore"):
+        x = (
+            (U(1000) + tt.astype(U)) * U(0x2545F4914F6CDD1D)
+            + pp.astype(U) * U(0x9E3779B97F4A7C15)
+            + ii.astype(U) * U(0xD6E8FEB86659FD93)
         )
-        sig = sig + F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+        z = (x + U(0x9E3779B97F4A7C15)).astype(U)
+        z = (z ^ (z >> U(30))) * U(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> U(27))) * U(0x94D049BB133111EB)
+        h = z ^ (z >> U(31))
+    return np.where(h % U(2) == 0, 1.0, -1.0).reshape(num_tables * planes_per_table, dim)
 
 
 def _multi_table_buckets(
     df: DataFrame, id_col: str, vec_col: str, num_tables: int, planes_per_table: int, dim: int
 ) -> DataFrame:
-    """(id, vec) → exploded (table_idx, bucket) rows — one signature per
-    hash table, each table using an independent plane set (seed = table
-    index). Multi-table OR-amplification is what makes hyperplane LSH
-    recall tunable on weakly-clustered data: P(candidate) =
-    1 - (1 - p^planes)^tables."""
-    buckets = F.array(
-        *[
-            _hyperplane_sig(F.col(vec_col), planes_per_table, dim, seed=1000 + t)
-            for t in range(num_tables)
-        ]
+    """(id, vec) → exploded (id, table_idx, bucket) rows — one signature per
+    hash table, each table using an independent plane set. Multi-table
+    OR-amplification is what makes hyperplane LSH recall tunable on
+    weakly-clustered data: P(candidate) = 1 - (1 - p^planes)^tables.
+
+    All tables' projections are ONE numpy GEMM per Arrow batch against the
+    closure-broadcast ±1 plane matrix (X @ R.T), then sign-bits pack into
+    per-table bucket ids. This replaced a per-plane ``F.aggregate`` fold —
+    interpreted per element, it was ~90% of emb_lsh's wall (16.4 s → 1.3 s
+    for 2000×64 at 12×3). Only (id, table, bucket) leaves the stage —
+    vectors never enter the bucket-join shuffle."""
+    import numpy as np
+
+    R = _plane_matrix(dim, num_tables, planes_per_table)  # (T*P, dim)
+    n_tables, n_planes = num_tables, planes_per_table
+    shifts = np.left_shift(np.ones(n_planes, dtype=np.int64), np.arange(n_planes, dtype=np.int64))
+
+    def mapper(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["_v"]), dtype=np.float64)
+            ids = pdf["_i"].to_numpy()
+            prj = X @ R.T  # (n, T*P)
+            bits = (prj > 0).reshape(len(ids), n_tables, n_planes)
+            buckets = (bits * shifts[None, None, :]).sum(axis=2)  # (n, T)
+            yield pd.DataFrame(
+                {
+                    "_id": np.tile(ids, n_tables),
+                    "_tbl": np.repeat(np.arange(n_tables, dtype=np.int32), len(ids)),
+                    "_bucket": buckets.T.reshape(-1),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+    return src.mapInPandas(mapper, "_id long, _tbl int, _bucket long")
+
+
+def _vec_closure(vectors: DataFrame, id_col: str, vec_col: str):
+    """Collect a bounded (id → vector) table for closure broadcast:
+    (index dict, matrix, norms-with-NaN-for-zero)."""
+    import numpy as np
+
+    rows = vectors.select(F.col(id_col), F.col(vec_col)).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(M, axis=1)
+    nrm = np.where(nrm == 0, np.nan, nrm)  # zero-norm → NaN cos → filtered
+    return {int(i): j for j, i in enumerate(ids)}, M, nrm
+
+
+def gather_verify_pairs(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    vectors_b: DataFrame | None = None,
+    id_col: str = "_id",
+    vec_col: str = "_v",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    out_col: str = "cos_sim",
+) -> DataFrame:
+    """Score (a, b) id pairs with exact cosine by closure-broadcasting the
+    BOUNDED vector table(s) and gathering per Arrow batch (row-wise einsum).
+
+    Only id pairs stream through Python — no vector ever enters the
+    candidate shuffle, and no per-pair fold runs in the JVM. This is the
+    candidate-verify twin of the exact path's closure-broadcast GEMM; it
+    requires the vector table(s) to fit the driver/closure (caller-checked).
+    ``vectors_b`` gives the b-side its own table (top-k: queries vs corpus);
+    default is self-join semantics. Zero-norm vectors score NULL (NaN →
+    filtered by any threshold / ordered last).
+    """
+    import numpy as np
+
+    index_a, Ma, na = _vec_closure(vectors, id_col, vec_col)
+    index_b, Mb, nb = (
+        (index_a, Ma, na) if vectors_b is None else _vec_closure(vectors_b, id_col, vec_col)
     )
-    # _nrm staged here: the verify stage divides by both sides' norms for
-    # EVERY candidate pair — computing it once per vector instead of per
-    # pair removes 2/3 of the verify fold work.
-    return df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_vec"),
-        norm(F.col(vec_col)).alias("_nrm"),
-        F.posexplode(buckets).alias("_tbl", "_bucket"),
-    )
+
+    def mapper(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ia = pdf[a_col].map(index_a).to_numpy(dtype=np.int64)
+            ib = pdf[b_col].map(index_b).to_numpy(dtype=np.int64)
+            s = np.einsum("ij,ij->i", Ma[ia], Mb[ib]) / (na[ia] * nb[ib])
+            yield pd.DataFrame({a_col: pdf[a_col], b_col: pdf[b_col], out_col: s})
+
+    return pairs.mapInPandas(mapper, f"{a_col} long, {b_col} long, {out_col} double")
 
 
 def lsh_topk(
@@ -199,21 +281,34 @@ def lsh_topk(
         .select(F.col("_id").alias("q_id"), "c_id")
         .dropDuplicates(["q_id", "c_id"])
     )
-    qv = queries.select(
-        F.col(q_id).alias("q_id"), F.col(q_vec).alias("q_vec"), norm(F.col(q_vec)).alias("q_nrm")
-    )
-    cv = corpus.select(
-        F.col(c_id).alias("c_id"), F.col(c_vec).alias("c_vec"), norm(F.col(c_vec)).alias("c_nrm")
-    )
-    cand = pairs.join(qv, "q_id").join(cv, "c_id")
-    scored = cand.select(
-        "q_id",
-        "c_id",
-        (
-            dot(F.col("q_vec"), F.col("c_vec"))
-            / F.nullif(F.col("q_nrm") * F.col("c_nrm"), F.lit(0.0))
-        ).alias("cos_sim"),
-    )
+    # size-aware verify (same policy as embedding_dup_pairs): bounded
+    # sides → closure-gathered row-wise einsum over id pairs; unbounded →
+    # re-attach vectors via equi-joins and score with the JVM fold.
+    qd = queries.select(F.col(q_id).alias("_id"), F.col(q_vec).alias("_v"))
+    cd = corpus.select(F.col(c_id).alias("_id"), F.col(c_vec).alias("_v"))
+    if (qd.count() + cd.count()) * dim <= 20_000_000:
+        scored = gather_verify_pairs(
+            pairs, qd, vectors_b=cd, a_col="q_id", b_col="c_id"
+        )
+    else:
+        qv = queries.select(
+            F.col(q_id).alias("q_id"), F.col(q_vec).alias("q_vec"), norm(F.col(q_vec)).alias("q_nrm")
+        )
+        cv = corpus.select(
+            F.col(c_id).alias("c_id"), F.col(c_vec).alias("c_vec"), norm(F.col(c_vec)).alias("c_nrm")
+        )
+        cand = pairs.join(qv, "q_id").join(cv, "c_id")
+        scored = cand.select(
+            "q_id",
+            "c_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / F.nullif(F.col("q_nrm") * F.col("c_nrm"), F.lit(0.0))
+            ).alias("cos_sim"),
+        )
+    # zero-norm scores surface as NULL (JVM nullif; Arrow maps pandas NaN
+    # to null too) or NaN — drop both so they can never rank
+    scored = scored.where(F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim"))
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

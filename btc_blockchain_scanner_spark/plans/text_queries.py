@@ -203,32 +203,34 @@ def t06_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_text_ops.py); this query makes the recall NUMBERS
     inspectable in CORRECTNESS/BENCH.
 
-    The O(n²) EXACT baselines (brute cosine, brute Hamming) are bounded to
-    a deterministic 2000-element prefix of the corpus — recall is a
+    EVERY family (exact baselines AND approximate paths) is bounded to the
+    same deterministic 2000-element prefix of the corpus — recall is a
     per-pair property, so a fixed-size sample keeps the evidence query
-    O(const) at any corpus scale; at the sf0.01 gate (500 docs) the prefix
-    is the whole corpus. The scalable approximate paths are still
-    exercised on the same subset so numerator and denominator match."""
+    O(const) at any corpus scale (the O(n²) baselines would otherwise
+    dominate, and even the candidate-based n-gram families were ~60% of
+    the whole sf0.1 bench when run corpus-wide); at the sf0.01 gate
+    (500 docs) the prefix is the whole corpus. Numerator and denominator
+    always come from the same subset."""
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
-    docs_s = docs.where(F.col("doc_id") < 2000)  # bounds sim_exact's O(n²)
-    emb_s = emb.where(F.col("vec_id") < 2000)  # bounds emb_exact's O(n²)
+    docs_s = docs.where(F.col("doc_id") < 2000)  # bounds the O(n²) baselines
+    emb_s = emb.where(F.col("vec_id") < 2000)
 
     # stage-sharing: the n-gram families split off ONE persisted shingle
     # frame, the simhash families ONE persisted signature frame — the
     # expensive first stages run once, not per family.
-    sh3 = dedup.shingle_docs(docs, n=3).persist()
+    sh3 = dedup.shingle_docs(docs_s, n=3).persist()
     sigs = dedup.simhash_signatures(docs_s).persist()
     # every pair set is consumed twice (its own count + the match semi-join)
     # and some are expensive O(n²) baselines — persist them all; everything
     # is unpersisted after the 5 result rows materialize below.
     jacc_exact = (
-        dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, sh=sh3).select("id_a", "id_b").persist()
+        dedup.ngram_jaccard_pairs(docs_s, n=3, threshold=0.5, sh=sh3).select("id_a", "id_b").persist()
     )
     minhash = dedup.minhash_lsh_pairs(
-        docs, n=3, num_perm=32, num_bands=8, threshold=0.5, sh=sh3
+        docs_s, n=3, num_perm=32, num_bands=8, threshold=0.5, sh=sh3
     ).persist()
-    winnow = dedup.winnow_dup_pairs(docs, k=5, window=4, min_shared=3).persist()
+    winnow = dedup.winnow_dup_pairs(docs_s, k=5, window=4, min_shared=3).persist()
     sim_exact = dedup.simhash_pairs_exact(docs_s, max_hamming=3, sigs=sigs).persist()
     sim_band = dedup.simhash_dup_pairs(docs_s, max_hamming=3, sigs=sigs).persist()
     emb_exact = dedup.embedding_dup_pairs(emb_s, threshold=0.35, exact=True).persist()
@@ -241,7 +243,16 @@ def t06_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weak top-1 cosines of this corpus (~0.3-0.5 → p ~0.6) — measured 0.96
     top_lsh = similarity.lsh_topk(q, emb_s, k=1, num_tables=12, planes_per_table=3).select(
         "q_id", "c_id"
-    )
+    ).persist()
+
+    # materialize every persisted family EAGERLY, one action each: a single
+    # big-bang collect interleaves ten Python-UDF pipelines in one DAG and
+    # measured ~35% slower than the same stages run isolated (76 s vs 56 s
+    # at sf0.1) — local-mode worker churn, same mechanism as the bench's
+    # clearCache ordering note.
+    for fam in (sh3, sigs, jacc_exact, minhash, winnow, sim_exact, sim_band,
+                emb_exact, emb_lsh, top_exact, top_lsh):
+        fam.count()
 
     pk = ["id_a", "id_b"]
     out = (
@@ -257,7 +268,8 @@ def t06_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver runs all queries in one session with no cache isolation.
     rows = out.collect()
     for df in (
-        sh3, sigs, jacc_exact, minhash, winnow, sim_exact, sim_band, emb_exact, emb_lsh, top_exact,
+        sh3, sigs, jacc_exact, minhash, winnow, sim_exact, sim_band, emb_exact,
+        emb_lsh, top_exact, top_lsh,
     ):
         df.unpersist()
     return spark.createDataFrame(rows, out.schema)
