@@ -53,6 +53,25 @@ def test_extraction_matches_oracle_and_preserves_text(spark):
     assert len(got_t) > 0 and len(got_m) > 0
 
 
+def test_synth_materialization_idempotent_and_parity(spark, tmp_path, monkeypatch):
+    """plans/synth.py: the materialized parquet must hold exactly the
+    regenerated rows (the oracle reads those bytes), and a second call must
+    NOT rewrite (the _SUCCESS short-circuit the gate/bench rely on)."""
+    import os
+
+    from btc_blockchain_scanner_spark.plans import synth
+
+    monkeypatch.setattr(synth, "SYNTH_DIR", str(tmp_path))
+    m1 = synth.materialized_transcripts(spark, n_convs=15)
+    want = {tuple(r) for r in datagen.transcripts(spark, n_convs=15).collect()}
+    assert {tuple(r) for r in m1.collect()} == want
+    path = synth.transcripts_path(15)
+    mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    m2 = synth.materialized_transcripts(spark, n_convs=15)
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime  # no rewrite
+    assert m2.count() == len(want)
+
+
 def test_conversational_extraction_resolves_pronouns(spark):
     """Grouped applyInPandas extractor: pronouns resolve to the most recent
     canonical mention across TURN boundaries (state a per-turn UDF cannot
