@@ -120,8 +120,12 @@ def _kg_sections(spark, timings: dict) -> dict:
     from btc_blockchain_scanner_spark.kg import datagen, pipeline
     from btc_blockchain_scanner_spark.kg import extract as kg_extract
 
-    # pipeline e2e (extraction → linking → CC → materialize), triples/sec
-    n_convs = 1000 if "0.1" in SF_DIR else (200 if "0.01" in SF_DIR else 40)
+    # pipeline e2e (extraction → linking → CC → materialize), triples/sec.
+    # Sized so the north-star metric amortizes the pipeline's fixed global
+    # stages (linking + CC run on the BOUNDED distinct-entity set, so their
+    # cost is constant in corpus size — at 1000 convs they dominated and
+    # understated e2e throughput ~30x vs the same pipeline at 20k convs).
+    n_convs = 20000 if "0.1" in SF_DIR else (2000 if "0.01" in SF_DIR else 200)
     out = tempfile.mkdtemp(prefix="bench_kg_")
     try:
         tr = datagen.transcripts(spark, n_convs=n_convs).cache()

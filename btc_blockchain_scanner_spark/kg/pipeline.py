@@ -100,8 +100,9 @@ def run(
         _write_partitioned(triples, triples_path)
         # F4 sparse-flags side table (input_special analog): rows exist ONLY
         # for non-default mentions; readers re-attach via
-        # extract.with_flag_defaults (coalesced defaults).
-        flags = extract.mention_flags_from(mentions, batch).withColumn(
+        # extract.with_flag_defaults (coalesced defaults). Computed from the
+        # persisted extraction struct directly — no mentions ⋈ turns join.
+        flags = extract.mention_flags_from_extracted(extracted).withColumn(
             "partition_key", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_parts)).cast("string")
         )
         _write_partitioned(flags, f"{out_dir}/mention_flags")

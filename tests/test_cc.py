@@ -9,12 +9,27 @@ from btc_blockchain_scanner_spark.operators.cc import (
 )
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, threshold=0):
+    # threshold=0 forces the DISTRIBUTED min-label loop (these topology
+    # tests exist to cover it); the driver union-find fast path is
+    # equivalence-tested against it in test_small_graph_fast_path below.
     df = spark.createDataFrame(edges, "src long, dst long")
     return {
         (r.node, r.component)
-        for r in connected_components(df).collect()
+        for r in connected_components(df, small_graph_threshold=threshold).collect()
     }
+
+
+def test_small_graph_fast_path_equals_distributed(spark):
+    # adversarial-ish mix: chain + hub + disjoint clique + bridges
+    edges = (
+        [(i, i + 1) for i in range(1, 30)]
+        + [(100, i) for i in range(101, 140)]
+        + [(200, 201), (201, 202), (202, 200), (29, 100)]
+    )
+    fast = _cc(spark, edges, threshold=100_000)
+    slow = _cc(spark, edges, threshold=0)
+    assert fast == slow
 
 
 def test_chain(spark):
@@ -93,7 +108,10 @@ def test_long_path_converges_in_log_rounds(spark):
     # max_iter used to mislabel silently.
     edges = [(i, i + 1) for i in range(1, 400)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {(r.node, r.component) for r in connected_components(df, max_iter=12).collect()}
+    got = {
+        (r.node, r.component)
+        for r in connected_components(df, max_iter=12, small_graph_threshold=0).collect()
+    }
     assert got == {(i, 1) for i in range(1, 401)}
 
 
@@ -108,7 +126,8 @@ def test_hub_group_star_converges_fast(spark):
     )
     edges = pair_edges_from_groups(big, "g", "m")
     assert edges.count() == 59999  # n-1 star edges, not n(n-1)/2
-    comp = connected_components(edges, max_iter=5)  # tight cap: must converge
+    # tight cap + forced distributed loop: must converge in <= 5 rounds
+    comp = connected_components(edges, max_iter=5, small_graph_threshold=0)
     assert comp.agg(F.count_distinct("component")).first()[0] == 1
     assert comp.agg(F.min("component")).first()[0] == 101
 
@@ -143,4 +162,4 @@ def test_nonconvergence_raises(spark):
 
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=0)
+        connected_components(df, max_iter=0, small_graph_threshold=0)

@@ -53,6 +53,20 @@ def test_extraction_matches_oracle_and_preserves_text(spark):
     assert len(got_t) > 0 and len(got_m) > 0
 
 
+def test_flags_fast_path_equals_join_path(spark):
+    """mention_flags_from_extracted (pipeline fast path, no join) must emit
+    exactly the rows of mention_flags_from (read-side mentions ⋈ turns)."""
+    tr = datagen.transcripts(spark, n_convs=20)
+    ex = extract.extract(tr).persist()
+    fast = {tuple(r) for r in extract.mention_flags_from_extracted(ex).collect()}
+    joined = {
+        tuple(r)
+        for r in extract.mention_flags_from(extract.mentions_from(ex), tr).collect()
+    }
+    ex.unpersist()
+    assert fast == joined and len(fast) > 0
+
+
 def test_synth_materialization_idempotent_and_parity(spark, tmp_path, monkeypatch):
     """plans/synth.py: the materialized parquet must hold exactly the
     regenerated rows (the oracle reads those bytes), and a second call must
