@@ -281,9 +281,25 @@ def lsh_topk(
         .select(F.col("_id").alias("q_id"), "c_id")
         .dropDuplicates(["q_id", "c_id"])
     )
-    # size-aware verify (same policy as embedding_dup_pairs): bounded
-    # sides → closure-gathered row-wise einsum over id pairs; unbounded →
-    # re-attach vectors via equi-joins and score with the JVM fold.
+    return _rank_candidates(pairs, queries, corpus, k, q_id, q_vec, c_id, c_vec, dim)
+
+
+def _rank_candidates(
+    pairs: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str,
+    q_vec: str,
+    c_id: str,
+    c_vec: str,
+    dim: int,
+) -> DataFrame:
+    """Shared candidate-verify + top-k rank for the ANN paths (LSH, IVF).
+
+    Size-aware verify (same policy as embedding_dup_pairs): bounded sides →
+    closure-gathered row-wise einsum over id pairs; unbounded → re-attach
+    vectors via equi-joins and score with the JVM fold."""
     qd = queries.select(F.col(q_id).alias("_id"), F.col(q_vec).alias("_v"))
     cd = corpus.select(F.col(c_id).alias("_id"), F.col(c_vec).alias("_v"))
     if (qd.count() + cd.count()) * dim <= 20_000_000:
@@ -315,3 +331,126 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "c_id", "cos_sim", "rank")
     )
+
+
+# -- IVF (inverted-file) ANN ---------------------------------------------------
+
+
+def _assign_clusters(
+    df: DataFrame, id_col: str, vec_col: str, C: "np.ndarray", n_probe: int
+) -> DataFrame:
+    """(id, vec) → (id, cluster) rows for each of the ``n_probe`` nearest
+    centroids (L2). One GEMM per Arrow batch against the closure-broadcast
+    centroid matrix — the IVF coarse quantizer."""
+    import numpy as np
+
+    c_sq = (C * C).sum(axis=1)
+
+    def mapper(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["_v"]), dtype=np.float64)
+            ids = pdf["_i"].to_numpy()
+            # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2; ||x||^2 is rank-constant
+            D = c_sq[None, :] - 2.0 * (X @ C.T)  # (n, n_centroids)
+            if n_probe == 1:
+                near = np.argmin(D, axis=1)[:, None]
+            else:
+                m = min(n_probe, D.shape[1])
+                near = np.argpartition(D, m - 1, axis=1)[:, :m]
+            reps = near.shape[1]
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(ids, reps),
+                    "_cluster": near.reshape(-1).astype(np.int32),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+    return src.mapInPandas(mapper, "_id long, _cluster int")
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+) -> "np.ndarray":
+    """Deterministic IVF coarse-quantizer centroids.
+
+    Seeds = the ``n_centroids`` corpus vectors with the smallest
+    md5(id) (an order-free pseudo-random sample — same determinism trick as
+    the id rank), refined by ``lloyd_iters`` distributed Lloyd steps:
+    assignment is the GEMM quantizer, the update is a per-(cluster,
+    position) mean via posexplode — both shuffle O(n·dim) rows, no driver
+    loop over data. The centroid matrix itself stays tiny
+    (n_centroids × dim) and lives driver-side, like the reference's
+    in-memory caches."""
+    import numpy as np
+
+    seed_rows = (
+        corpus.select(F.col(c_id).alias("_i"), F.col(c_vec).alias("_v"))
+        .withColumn("_m", F.md5(F.col("_i").cast("string")))
+        .orderBy("_m")
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.array([list(r["_v"]) for r in seed_rows], dtype=np.float64)
+    vecs = corpus.select(F.col(c_id).alias("_i"), F.col(c_vec).alias("_v"))
+    for _ in range(lloyd_iters):
+        assigned = _assign_clusters(corpus, c_id, c_vec, C, n_probe=1)
+        upd = (
+            assigned.join(vecs, assigned._id == vecs._i)
+            .select("_cluster", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_cluster", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        C = C.copy()  # clusters that lost every member keep their seed
+        for r in upd:
+            C[r["_cluster"], r["_pos"]] = r["_m"]
+    return C
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 1,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 2,
+    dim: int = 64,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF index: corpus vectors go to their single
+    nearest centroid's inverted list; each query probes its ``n_probe``
+    nearest lists; exact cosine re-ranks the union of probed lists.
+
+    The alternative ANN scale path to :func:`lsh_topk` (a training-data
+    pipeline usually offers both): IVF candidates are corpus-adaptive
+    (cluster structure) where LSH's are data-oblivious (random planes), so
+    IVF needs far fewer candidates on clustered corpora — cost ~
+    n_probe/n_centroids of the corpus per query. The bucket join shuffles
+    ids only, exactly like the LSH path."""
+    C = ivf_centroids(corpus, c_id, c_vec, n_centroids, lloyd_iters)
+    c_assign = _assign_clusters(corpus, c_id, c_vec, C, n_probe=1).select(
+        F.col("_id").alias("c_id"), "_cluster"
+    )
+    q_assign = _assign_clusters(queries, q_id, q_vec, C, n_probe=n_probe).select(
+        F.col("_id").alias("q_id"), "_cluster"
+    )
+    pairs = (
+        q_assign.join(c_assign, "_cluster")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        # corpus vectors live in exactly ONE list, so probe unions cannot
+        # duplicate a pair — no dropDuplicates shuffle needed
+    )
+    return _rank_candidates(pairs, queries, corpus, k, q_id, q_vec, c_id, c_vec, dim)
