@@ -120,6 +120,16 @@ def _kg_sections(spark, timings: dict) -> dict:
     from btc_blockchain_scanner_spark.kg import datagen, pipeline
     from btc_blockchain_scanner_spark.kg import extract as kg_extract
 
+    # Warm the Python/Arrow UDF workers before any timed section (same
+    # policy as bench_scaling.py): every worker pays pandas/numpy import +
+    # fork once, which otherwise lands inside the first timed pipeline.
+    datagen.transcripts(spark, n_convs=64).select(
+        "conv_id", "turn_idx"
+    ).count()
+    kg_extract.triples_from(
+        kg_extract.extract(datagen.transcripts(spark, n_convs=64))
+    ).count()
+
     # pipeline e2e (extraction → linking → CC → materialize), triples/sec.
     # Sized so the north-star metric amortizes the pipeline's fixed global
     # stages (linking + CC run on the BOUNDED distinct-entity set, so their

@@ -28,6 +28,11 @@ CHECKS = {
     # two-phase id assignment: the row_number window must run over the
     # 256-way md5-prefix buckets, not a global single-partition sort
     "kg03_entity_ids": ["hashpartitioning(_b"],
+    # the transcript extraction must be Arrow-vectorized Python, never
+    # row-at-a-time (BatchEvalPython) — asserted via NEG below
+    "kg10_transcript_triples": ["ArrowEvalPython"],
+    # tags read-side join-back: the tag dim joins broadcast
+    "kg12_tagged_nodes": ["BroadcastHashJoin"],
 }
 
 NEG_CHECKS = {
@@ -38,6 +43,8 @@ NEG_CHECKS = {
     "kg03_entity_ids": [r"Exchange SinglePartition(?:(?!Exchange)[\s\S]){0,800}row_number\(\)"],
     # t05: candidate generation must never degenerate to a cross join
     "t05_ngram_jaccard_dups": [r"CartesianProduct"],
+    # row-at-a-time Python would be the slow path everywhere
+    "kg10_transcript_triples": [r"BatchEvalPython"],
 }
 
 
