@@ -134,11 +134,15 @@ def _partition_rowcount(base: str, key: str) -> int | None:
     replaces this whole check)."""
     import pyarrow.parquet as pq
 
-    if "://" in base and not base.startswith("file:"):
+    if "://" in base or base.startswith("file:"):
+        # file: URIs are "local" to Spark but os.path/glob cannot resolve
+        # them either — they'd silently read as absent, the exact failure
+        # this guard exists to surface. Only scheme-less paths pass.
         raise NotImplementedError(
-            f"tail validation reads local parquet footers; got non-local "
-            f"path {base!r} — wire the Hadoop FileSystem API (or Iceberg "
-            "snapshot metadata) for cluster deployments"
+            f"tail validation reads local parquet footers via os paths; got "
+            f"URI-style path {base!r} — pass a plain filesystem path, or "
+            "wire the Hadoop FileSystem API (or Iceberg snapshot metadata) "
+            "for cluster deployments"
         )
     pdir = os.path.join(base, f"partition_key={key}")
     if not os.path.isdir(pdir):

@@ -94,19 +94,22 @@ def ngram_jaccard_pairs(
 
     n_hubs = 0
     if max_shingle_freq is not None:
-        hubs = (
+        # Hub shingles number <= total_incidences / cap by construction —
+        # collected once (the reference's hot-address-cache move) and
+        # re-entered as a small broadcast DATAFRAME. Not a persist (it
+        # would leak into the caller's long-lived session — t06's
+        # unpersist sweep can't reach it) and not a literal
+        # F.array(*[F.lit(g) ...]) (Catalyst analysis degrades at a few
+        # thousand literal expressions, far below any useful cap).
+        hub_rows = (
             exploded.groupBy("_g")
             .agg(F.count("*").alias("_df"))
             .where(F.col("_df") > max_shingle_freq)
             .select("_g")
+            .limit(100_001)
+            .collect()
         )
-        # Hub shingles number <= total_incidences / cap by construction —
-        # a tiny dim that stays a BROADCAST DATAFRAME throughout. (A
-        # literal F.array(*[F.lit(g) ...]) was tried first: Catalyst plans
-        # degrade to minutes of analysis at a few thousand literal
-        # expressions, far below any useful cap.)
-        hubs = hubs.persist()
-        n_hubs = hubs.count()
+        n_hubs = len(hub_rows)
         if n_hubs > 100_000:
             raise ValueError(
                 "ngram_jaccard_pairs: >100k hub shingles above "
@@ -115,6 +118,7 @@ def ngram_jaccard_pairs(
             )
         exploded_all = exploded
         if n_hubs:
+            hubs = docs.sparkSession.createDataFrame(hub_rows, "_g string")
             exploded = exploded.join(F.broadcast(hubs), "_g", "left_anti")
 
     cand = (
@@ -235,10 +239,11 @@ def embedding_dup_pairs(
     # 2000×64/0.35). Past the bound, vectors + staged norms re-attach via
     # two narrow equi-joins and the JVM fold scores each pair — the
     # unbounded-scale path (an attached-pairs pandas verify was tried and
-    # is 2-6x SLOWER there; see cosine()'s measured note).
-    n_vecs = e.count()
-    if n_vecs * dim <= 20_000_000:  # ~160 MB of float64 in the closure
-        scored = similarity.gather_verify_pairs(pairs, e)
+    # is 2-6x SLOWER there; see cosine()'s measured note). The bound check
+    # is one take() that doubles as the closure collect.
+    closure = similarity._try_vec_closure(e, "_id", "_v", 20_000_000 // max(dim, 1))
+    if closure is not None:
+        scored = similarity._gather_score(pairs, closure, closure, "id_a", "id_b")
     else:
         from .similarity import dot, norm
 

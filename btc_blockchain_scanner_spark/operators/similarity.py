@@ -192,17 +192,32 @@ def _multi_table_buckets(
     return src.mapInPandas(mapper, "_id long, _tbl int, _bucket long")
 
 
-def _vec_closure(vectors: DataFrame, id_col: str, vec_col: str):
-    """Collect a bounded (id → vector) table for closure broadcast:
-    (index dict, matrix, norms-with-NaN-for-zero)."""
+def _closure_from_rows(rows):
+    """(id, vec) rows → closure triple (index dict, matrix, norms) with
+    NaN marking zero norms (→ NaN cos → filtered)."""
     import numpy as np
 
-    rows = vectors.select(F.col(id_col), F.col(vec_col)).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     M = np.array([list(r[1]) for r in rows], dtype=np.float64)
     nrm = np.linalg.norm(M, axis=1)
-    nrm = np.where(nrm == 0, np.nan, nrm)  # zero-norm → NaN cos → filtered
+    nrm = np.where(nrm == 0, np.nan, nrm)
     return {int(i): j for j, i in enumerate(ids)}, M, nrm
+
+
+def _vec_closure(vectors: DataFrame, id_col: str, vec_col: str):
+    """Collect a bounded (id → vector) table for closure broadcast."""
+    return _closure_from_rows(vectors.select(F.col(id_col), F.col(vec_col)).collect())
+
+
+def _try_vec_closure(vectors: DataFrame, id_col: str, vec_col: str, max_rows: int):
+    """ONE pass: take(max_rows+1). Returns the closure triple if the table
+    fits the bound, else None — the rows double as the collect, so the
+    size check costs no extra lineage evaluation (the count-then-collect
+    shape re-executed unpersisted upstream plans twice)."""
+    rows = vectors.select(F.col(id_col), F.col(vec_col)).take(max_rows + 1)
+    if len(rows) > max_rows:
+        return None
+    return _closure_from_rows(rows)
 
 
 def gather_verify_pairs(
@@ -226,12 +241,18 @@ def gather_verify_pairs(
     default is self-join semantics. Zero-norm vectors score NULL (NaN →
     filtered by any threshold / ordered last).
     """
-    import numpy as np
-
     index_a, Ma, na = _vec_closure(vectors, id_col, vec_col)
     index_b, Mb, nb = (
         (index_a, Ma, na) if vectors_b is None else _vec_closure(vectors_b, id_col, vec_col)
     )
+    return _gather_score(pairs, (index_a, Ma, na), (index_b, Mb, nb), a_col, b_col, out_col)
+
+
+def _gather_score(pairs, closure_a, closure_b, a_col, b_col, out_col="cos_sim"):
+    import numpy as np
+
+    index_a, Ma, na = closure_a
+    index_b, Mb, nb = closure_b
 
     def mapper(batches):
         import pandas as pd
@@ -239,8 +260,17 @@ def gather_verify_pairs(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ia = pdf[a_col].map(index_a).to_numpy(dtype=np.int64)
-            ib = pdf[b_col].map(index_b).to_numpy(dtype=np.int64)
+            ma = pdf[a_col].map(index_a)
+            mb = pdf[b_col].map(index_b)
+            if ma.isna().any() or mb.isna().any():
+                missing = pdf[a_col][ma.isna()].tolist()[:3] + pdf[b_col][mb.isna()].tolist()[:3]
+                raise ValueError(
+                    f"gather verify: pair references ids absent from the "
+                    f"vector table (e.g. {missing}) — the pairs must be "
+                    "generated from the same id set as the closure"
+                )
+            ia = ma.to_numpy(dtype=np.int64)
+            ib = mb.to_numpy(dtype=np.int64)
             s = np.einsum("ij,ij->i", Ma[ia], Mb[ib]) / (na[ia] * nb[ib])
             yield pd.DataFrame({a_col: pdf[a_col], b_col: pdf[b_col], out_col: s})
 
@@ -299,13 +329,16 @@ def _rank_candidates(
 
     Size-aware verify (same policy as embedding_dup_pairs): bounded sides →
     closure-gathered row-wise einsum over id pairs; unbounded → re-attach
-    vectors via equi-joins and score with the JVM fold."""
+    vectors via equi-joins and score with the JVM fold. The bound check is
+    a single take() per side that doubles as the closure collect — no
+    count-then-collect double evaluation of unpersisted lineages."""
+    max_rows = 20_000_000 // max(dim, 1)  # ~160 MB of float64 per closure
     qd = queries.select(F.col(q_id).alias("_id"), F.col(q_vec).alias("_v"))
     cd = corpus.select(F.col(c_id).alias("_id"), F.col(c_vec).alias("_v"))
-    if (qd.count() + cd.count()) * dim <= 20_000_000:
-        scored = gather_verify_pairs(
-            pairs, qd, vectors_b=cd, a_col="q_id", b_col="c_id"
-        )
+    ca = _try_vec_closure(qd, "_id", "_v", max_rows)
+    cb = _try_vec_closure(cd, "_id", "_v", max_rows) if ca is not None else None
+    if ca is not None and cb is not None:
+        scored = _gather_score(pairs, ca, cb, "q_id", "c_id")
     else:
         qv = queries.select(
             F.col(q_id).alias("q_id"), F.col(q_vec).alias("q_vec"), norm(F.col(q_vec)).alias("q_nrm")
@@ -403,11 +436,19 @@ def ivf_centroids(
     vecs = corpus.select(F.col(c_id).alias("_i"), F.col(c_vec).alias("_v"))
     for _ in range(lloyd_iters):
         assigned = _assign_clusters(corpus, c_id, c_vec, C, n_probe=1)
+        # mean via exact DECIMAL sum / count: a double avg() accumulates in
+        # shuffle order and is NOT bit-reproducible across parallelism —
+        # boundary vectors could flip cluster between runs. Decimal sums
+        # are order-insensitive (same trick as the oracle-parity dsum).
         upd = (
             assigned.join(vecs, assigned._id == vecs._i)
             .select("_cluster", F.posexplode("_v").alias("_pos", "_x"))
             .groupBy("_cluster", "_pos")
-            .agg(F.avg("_x").alias("_m"))
+            .agg(
+                (
+                    F.sum(F.col("_x").cast("decimal(30,12)")) / F.count("*")
+                ).cast("double").alias("_m")
+            )
             .collect()
         )
         C = C.copy()  # clusters that lost every member keep their seed

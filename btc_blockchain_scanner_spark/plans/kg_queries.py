@@ -264,14 +264,6 @@ def f02_mention_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sf_scale(sf_dir: str) -> int:
-    if "0.001" in sf_dir:
-        return 40
-    if "0.01" in sf_dir:
-        return 200
-    return 1000
-
-
 # ---- tags schema (create-db-structure-tags.sql analog) ----------------------
 
 _TAG_NAMES = ("compute", "storage", "format")
@@ -330,12 +322,17 @@ def kg12_tagged_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- transcript-domain oracles (VERDICT r02 item 2) -------------------------
-# The driver's gate runs at sf0.01 → n_convs=200; the deterministic
-# transcripts are materialized to a shared parquet path by the Spark query
-# itself (plans/synth.py), and the oracle reads the SAME bytes back.
+# The deterministic transcripts are materialized to a shared parquet path
+# by the Spark query itself (plans/synth.py), and the oracle reads the
+# SAME bytes back. BOTH sides pin n_convs=200 at EVERY sf — oracle SQL is
+# a static string, so an sf-scaled Spark side would silently compare
+# against the wrong table at sf != 0.01 (false regression or a missing-
+# file DuckDB error). Scale exercise for the transcript path lives in
+# bench.py's pipeline/extraction sections (20k/50k convs), not here.
 from ..kg.vocab import ALL_SURFACES, PREDICATES  # noqa: E402
 
-_T_PATH = synth.transcripts_path(200) + "/*.parquet"
+_T_CONVS = 200
+_T_PATH = synth.transcripts_path(_T_CONVS) + "/*.parquet"
 _T_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 _T_SURF = "[" + ",".join(f"'{s}'" for s in ALL_SURFACES) + "]"
 _T_PREDS = "[" + ",".join(f"'{p}'" for p in PREDICATES) + "]"
@@ -366,7 +363,7 @@ def kg10_transcript_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     RunFullScan.processTransaction analog). The oracle re-derives the
     triples in pure SQL from the materialized transcript bytes: the i/i+2
     mention + i+1 predicate adjacency with 0-based subj_pos."""
-    tr = synth.materialized_transcripts(spark, n_convs=_sf_scale(sf_dir))
+    tr = synth.materialized_transcripts(spark, n_convs=_T_CONVS)
     ex = extract.extract(tr)
     return extract.triples_from(ex)
 
@@ -407,7 +404,7 @@ def kg11_transcript_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain)."""
     from ..kg import canonicalize, link
 
-    tr = synth.materialized_transcripts(spark, n_convs=_sf_scale(sf_dir))
+    tr = synth.materialized_transcripts(spark, n_convs=_T_CONVS)
     # persist the flattened mentions: linking, co-mention edges, and CC all
     # branch from it — without this the Arrow extraction re-runs per action
     mentions = extract.mentions_from(extract.extract(tr)).persist()

@@ -35,6 +35,22 @@ def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def _publish(df: DataFrame, path: str) -> None:
+    """Race-safe install: write to a process-unique sibling dir, then
+    os.rename into place. Two concurrent processes both writing straight
+    to the final path with mode('overwrite') would delete each other's
+    files mid-read; with rename, the loser just discards its copy and the
+    winner's complete table is what every reader sees."""
+    import shutil
+
+    tmp = f"{path}._build{os.getpid()}"
+    df.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:  # lost the race — a complete table is already installed
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def materialized_transcripts(spark: SparkSession, n_convs: int, seed: int = 42) -> DataFrame:
     """Transcripts table, written once to the shared path, read back —
     both the Spark query and the DuckDB oracle consume identical bytes."""
@@ -42,9 +58,7 @@ def materialized_transcripts(spark: SparkSession, n_convs: int, seed: int = 42) 
 
     path = transcripts_path(n_convs, seed)
     if not _done(path):
-        datagen.transcripts(spark, n_convs=n_convs, seed=seed).write.mode(
-            "overwrite"
-        ).parquet(path)
+        _publish(datagen.transcripts(spark, n_convs=n_convs, seed=seed), path)
     return spark.read.parquet(path)
 
 
@@ -53,5 +67,5 @@ def materialized_assets(spark: SparkSession, n: int) -> DataFrame:
 
     path = assets_path(n)
     if not _done(path):
-        multimodal.synthesize_assets(spark, n=n).write.mode("overwrite").parquet(path)
+        _publish(multimodal.synthesize_assets(spark, n=n), path)
     return spark.read.parquet(path)
