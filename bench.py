@@ -136,17 +136,25 @@ def _kg_sections(spark, timings: dict) -> dict:
     # cost is constant in corpus size — at 1000 convs they dominated and
     # understated e2e throughput ~30x vs the same pipeline at 20k convs).
     n_convs = 20000 if "0.1" in SF_DIR else (2000 if "0.01" in SF_DIR else 200)
-    out = tempfile.mkdtemp(prefix="bench_kg_")
-    try:
-        tr = datagen.transcripts(spark, n_convs=n_convs).cache()
-        tr.count()
-        t0 = _t.perf_counter()
-        res = pipeline.run(spark, tr, out, n_parts=max(4, CPUS // 4))
-        kg_sec = _t.perf_counter() - t0
-        triples = res.counters["triples_emitted"]
-        tr.unpersist()
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    # best of 2 trials: the hypervisor steals CPU in multi-second storms
+    # that only ever ADD time (same best-of policy as bench_scaling.py) —
+    # a single trial measured anywhere from 32 s to 105 s for identical
+    # work in one afternoon.
+    tr = datagen.transcripts(spark, n_convs=n_convs).cache()
+    tr.count()
+    kg_sec, triples = None, 0
+    for _ in range(2):
+        out = tempfile.mkdtemp(prefix="bench_kg_")
+        try:
+            t0 = _t.perf_counter()
+            res = pipeline.run(spark, tr, out, n_parts=max(4, CPUS // 4))
+            trial = _t.perf_counter() - t0
+            if kg_sec is None or trial < kg_sec:
+                kg_sec = trial
+                triples = res.counters["triples_emitted"]
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+    tr.unpersist()
     timings["kg_pipeline_e2e"] = round(kg_sec, 3)
 
     # throughput-bound extraction rate over a larger staged corpus (the
