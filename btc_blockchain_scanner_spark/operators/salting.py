@@ -1,0 +1,81 @@
+"""Explicit key salting for skewed aggregations.
+
+The hub entity is 40% of all mentions by construction (vocab.HUB_ENTITY —
+the giant-wallet skew the reference fights with bulk relabels,
+RunUpdateWallets2.java:218-222). Spark already defuses *algebraic*
+aggregates (sum/count/min) via map-side partial aggregation, and AQE
+splits skewed JOIN partitions — but non-algebraic aggregates
+(collect_set / collect_list) funnel every row of a hot key through ONE
+reduce task, and no partial-agg saves them.
+
+Salting is the explicit fix: spread each key over ``n_salts`` sub-keys,
+aggregate per (key, salt) — bounded task size — then merge the ≤n_salts
+partial results per key. Two shuffles, both bounded; the merge input is
+n_salts rows per key regardless of how hot the key is.
+
+``pair_edges_from_groups`` (operators/cc.py) and the two-phase rank
+(operators/rank.py) are special-case instances of the same idea; this
+module is the general utility for user aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int = 32, salt_col: str = "_salt") -> DataFrame:
+    """Deterministic row salt in [0, n_salts): hash of the whole row's
+    partition-local position is NOT deterministic, so salt on a cheap
+    uniform hash of all columns (content-derived → same row always gets
+    the same salt at any parallelism)."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+
+
+def salted_collect_set(
+    df: DataFrame, key_cols: list[str], value_col: str, n_salts: int = 32
+) -> DataFrame:
+    """groupBy(key).collect_set(value) that survives hot keys.
+
+    Phase 1 collects per (key, salt) — each task sees at most ~1/n_salts
+    of a hot key's rows; phase 2 flattens + dedups the ≤n_salts partial
+    sets per key. Output column: ``{value_col}_set`` (sorted array for
+    deterministic comparisons)."""
+    out = f"{value_col}_set"
+    salted = with_salt(df.select(*key_cols, value_col), n_salts)
+    partial = salted.groupBy(*key_cols, "_salt").agg(
+        F.collect_set(value_col).alias("_part")
+    )
+    return (
+        partial.groupBy(*key_cols)
+        .agg(F.array_sort(F.array_distinct(F.flatten(F.collect_list("_part")))).alias(out))
+    )
+
+
+def salted_count_distinct(
+    df: DataFrame, key_cols: list[str], value_col: str, n_salts: int = 32
+) -> DataFrame:
+    """Exact count-distinct per key without funnelling a hot key through
+    one task: salt on the VALUE (so duplicates of one value land in the
+    same salt and dedup there), count distinct per (key, salt), sum the
+    disjoint partial counts."""
+    salted = df.select(*key_cols, value_col).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts))
+    )
+    partial = salted.groupBy(*key_cols, "_salt").agg(
+        F.count_distinct(value_col).alias("_n")
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("_n").cast("long").alias(f"{value_col}_n_distinct")
+    )
+
+
+def salt_explode(key: Column, n_salts: int) -> Column:
+    """Broadcast-side replicate helper for a salted skew JOIN: the skewed
+    fact side gets ``with_salt``; the dim side cross-explodes each key to
+    all n_salts variants so the equi-join on (key, salt) still matches —
+    classic salted-join recipe when AQE's runtime skew split is
+    unavailable (e.g. a deterministic-plan requirement)."""
+    return F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
