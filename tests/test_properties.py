@@ -90,3 +90,63 @@ def test_hub_cap_preserves_jaccard_pairs(spark, word_lists):
     for a, b, j in base:
         if (a, b) in capped_keys:
             assert (a, b, j) in capped
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=40), st.integers(min_value=0, max_value=40)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(edges=edges_strategy)
+@settings(**_SETTINGS)
+def test_unionfind_fast_path_equals_distributed_cc(spark, edges):
+    """The driver union-find and the distributed min-label loop must agree
+    on ANY edge list (self-loops, duplicates, both orientations)."""
+    from btc_blockchain_scanner_spark.operators.cc import connected_components
+
+    if all(a == b for a, b in edges):
+        return  # nothing but self-loops → empty graph in both paths
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {
+        (r.node, r.component)
+        for r in connected_components(df, small_graph_threshold=10_000).collect()
+    }
+    slow = {
+        (r.node, r.component)
+        for r in connected_components(df, small_graph_threshold=0).collect()
+    }
+    assert fast == slow
+
+
+kv_strategy = st.lists(
+    st.tuples(st.sampled_from(["hub", "k1", "k2"]), st.integers(min_value=0, max_value=30)),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(rows=kv_strategy, n_salts=st.sampled_from([1, 3, 16]))
+@settings(**_SETTINGS)
+def test_salted_aggs_equal_plain(spark, rows, n_salts):
+    from btc_blockchain_scanner_spark.operators import salting
+
+    df = spark.createDataFrame(rows, "k string, v long")
+    got_set = {
+        (r.k, tuple(r.v_set))
+        for r in salting.salted_collect_set(df, ["k"], "v", n_salts=n_salts).collect()
+    }
+    want_set = {
+        (r.k, tuple(r.s))
+        for r in df.groupBy("k").agg(F.array_sort(F.collect_set("v")).alias("s")).collect()
+    }
+    assert got_set == want_set
+    got_n = {
+        (r.k, r.v_n_distinct)
+        for r in salting.salted_count_distinct(df, ["k"], "v", n_salts=n_salts).collect()
+    }
+    want_n = {
+        (r.k, r.n) for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    assert got_n == want_n
