@@ -74,8 +74,19 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         # drop persisted intermediates so one query's cache pressure can't
         # slow its successors (measured: kg10 82 s after t06's persists vs
-        # 5 s in isolation)
+        # 5 s in isolation). clearCache() does NOT free localCheckpoint
+        # RDDs (g01/kg04/kg11 each leave several) — those are reaped by
+        # the ContextCleaner only after the py4j-side references drop, so
+        # force a Python GC + a JVM GC nudge; without it the block manager
+        # fills across ~50 queries and late queries degrade 2-4x.
         spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — GC nudge is best-effort
+            pass
 
     headline_total = round(
         sum(timings[n] for n in HEADLINE + ["kg_pipeline_e2e", "kg_extract_throughput"]), 3
