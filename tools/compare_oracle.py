@@ -66,6 +66,15 @@ def main():
             continue
         el = time.monotonic() - t0
         spark.catalog.clearCache()  # cache isolation between queries
+        # localCheckpoint blocks aren't freed by clearCache — force the
+        # py4j refs to drop so the ContextCleaner reaps them (see bench.py)
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
         if name not in oracles:
             print(f"ok?  {name}: rows-only check, {len(s_rows)} rows (no oracle) [{el:.1f}s]")
             continue
