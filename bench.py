@@ -60,6 +60,7 @@ def main() -> None:
     # for the rest of the process (local-mode artifact, see PERFORMANCE.md),
     # and these two sections are the headline UDF throughput numbers.
     kg_stats = _kg_sections(spark, timings)
+    cc_stats = _cc_at_scale_section(spark, timings) if "0.1" in SF_DIR else {}
 
     for name in qs:  # ALL registered queries, headline or not
         t0 = time.perf_counter()
@@ -101,6 +102,7 @@ def main() -> None:
         "sf": SF_DIR,
         "cpus": CPUS,
         **kg_stats,
+        **cc_stats,
     }
     # Full record goes to a FILE; stdout gets one compact line, LAST, under
     # the driver's 2000-char stdout-tail capture (r02 lesson: the full line
@@ -119,6 +121,74 @@ def main() -> None:
         compact["queries_truncated_see"] = "BENCH_FULL.json"
         line = json.dumps(compact, separators=(",", ":"))
     print(line, flush=True)
+
+
+def _cc_at_scale_section(spark, timings: dict) -> dict:
+    """Distributed-CC evidence at the scale the loop exists for (VERDICT r3
+    item 2): every bench/gate entity graph fits the ≤100k-edge driver
+    union-find fast path, so the min-label + pointer-doubling loop — the
+    answer to the reference's RunUpdateWallets2.java:212-230 bulk-relabel
+    hot spot — had no published at-scale number. Here: a 5M-edge synthetic
+    graph with 40% of edges on ONE hub component (the HUB_ENTITY skew
+    shape) plus 3M chain edges (diameter 7, forcing real pointer-doubling
+    rounds), distributed loop FORCED via small_graph_threshold=0.
+
+    Correctness of the at-scale run is double-checked in-bench:
+    * analytically — the synthetic graph's component minima are known in
+      closed form, full-graph mismatch count must be 0;
+    * driver union-find parity on a sampled subgraph (5k complete chain
+      components, 35k edges): same edges through the driver path must
+      yield identical labels.
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from btc_blockchain_scanner_spark.operators.cc import connected_components
+
+    N_HUB = 2_000_000  # star edges (0, 1..N_HUB): the 40%-hub component
+    N_CHAIN_EDGES = 3_000_000  # chains of 8 nodes / 7 edges each
+    BASE = 10_000_000  # chain node-id space, disjoint from the hub's
+    hub = spark.range(1, N_HUB + 1).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    chains = spark.range(N_CHAIN_EDGES).select(
+        (F.lit(BASE) + F.floor(F.col("id") / 7) * 8 + F.col("id") % 7).alias("src")
+    ).withColumn("dst", F.col("src") + 1)
+    edges = hub.unionByName(chains).repartition(CPUS * 2)
+
+    st: dict = {}
+    t0 = _t.perf_counter()
+    comp = connected_components(edges, small_graph_threshold=0, stats_out=st).persist()
+    n_nodes = comp.count()
+    wall = _t.perf_counter() - t0
+    timings["cc_distributed_5m"] = round(wall, 3)
+
+    # analytic full-graph check: hub nodes → 0; chain node → its chain head
+    want = F.when(F.col("node") <= N_HUB, F.lit(0)).otherwise(
+        F.col("node") - (F.col("node") - BASE) % 8
+    )
+    mism = comp.where(F.col("component") != want).count()
+
+    # driver union-find parity on a sampled subgraph of COMPLETE components
+    sub = chains.where(F.col("src") < BASE + 5000 * 8)
+    uf = connected_components(sub, small_graph_threshold=10**9)
+    parity_mism = (
+        uf.withColumnRenamed("component", "uf_component")
+        .join(comp, "node")
+        .where(F.col("uf_component") != F.col("component"))
+        .count()
+    )
+    comp.unpersist()
+    spark.catalog.clearCache()
+    return {
+        "cc_edges": N_HUB + N_CHAIN_EDGES,
+        "cc_nodes": n_nodes,
+        "cc_rounds": st.get("rounds"),
+        "cc_edges_per_sec": round((N_HUB + N_CHAIN_EDGES) / wall, 1),
+        "cc_analytic_mismatches": mism,
+        "cc_uf_parity_mismatches": parity_mism,
+    }
 
 
 def _kg_sections(spark, timings: dict) -> dict:
@@ -168,6 +238,29 @@ def _kg_sections(spark, timings: dict) -> dict:
     tr.unpersist()
     timings["kg_pipeline_e2e"] = round(kg_sec, 3)
 
+    # second, larger e2e epoch (VERDICT r3 item 7: north-metric credibility
+    # needs two (n_convs, triples/s) points to show the fixed-cost floor is
+    # amortized, not hidden): 5x the conversations, single trial.
+    big_stats = {}
+    if "0.1" in SF_DIR:
+        n_convs2 = 100_000
+        tr2 = datagen.transcripts(spark, n_convs=n_convs2, partitions=CPUS * 2).cache()
+        tr2.count()
+        out2 = tempfile.mkdtemp(prefix="bench_kg_big_")
+        try:
+            t0 = _t.perf_counter()
+            res2 = pipeline.run(spark, tr2, out2, n_parts=max(4, CPUS // 4))
+            kg_sec2 = _t.perf_counter() - t0
+            big_stats = {
+                "kg_convs_100k": n_convs2,
+                "kg_triples_100k": res2.counters["triples_emitted"],
+                "triples_per_sec_100k": round(res2.counters["triples_emitted"] / kg_sec2, 1),
+            }
+            timings["kg_pipeline_e2e_100k"] = round(kg_sec2, 3)
+        finally:
+            shutil.rmtree(out2, ignore_errors=True)
+        tr2.unpersist()
+
     # throughput-bound extraction rate over a larger staged corpus (the
     # scaling benchmark's job shape; see bench_scaling.py / BENCH_SCALING.md)
     n_big = 50000 if "0.1" in SF_DIR else (5000 if "0.01" in SF_DIR else 1000)
@@ -192,6 +285,7 @@ def _kg_sections(spark, timings: dict) -> dict:
     return {
         "kg_triples": triples,
         "triples_per_sec": round(triples / kg_sec, 1) if kg_sec > 0 else None,
+        **big_stats,
         "extract_turns": n_turns,
         "extract_triples_per_sec": round(n_big_triples / ex_sec, 1),
         "extract_turns_per_sec": round(n_turns / ex_sec, 1),

@@ -41,13 +41,24 @@ MANIFEST_SCHEMA = T.StructType(
 )
 
 
+def _is_dir(path: str) -> bool:
+    """URI-aware directory test (same resolution rules as
+    :func:`_partition_rowcount`)."""
+    if "://" in path or path.startswith("file:"):
+        from pyarrow import fs as pafs
+
+        filesystem, p = pafs.FileSystem.from_uri(path)
+        return filesystem.get_file_info(p).type == pafs.FileType.Directory
+    return os.path.isdir(path)
+
+
 class Manifest:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
 
     def exists(self) -> bool:
-        return os.path.isdir(self.path)
+        return _is_dir(self.path)
 
     def read(self) -> DataFrame:
         if not self.exists():
@@ -125,25 +136,39 @@ def _partition_rowcount(base: str, key: str) -> int | None:
     """Row count of one hive partition from parquet footers, or None if the
     directory is absent or any footer is unreadable (= corrupt tail).
 
-    LOCAL-FILESYSTEM ONLY: the footer walk uses os/glob. On an HDFS/S3
-    path every partition would silently read as "absent", validated_done
-    would mark nothing done, and resume would quietly re-extract the whole
-    input — correct output, but the incremental feature would be disabled
-    with no signal. We raise instead; the cluster deployment routes this
-    through the Hadoop FileSystem API (or Iceberg snapshot metadata, which
-    replaces this whole check)."""
+    Scheme-less paths walk the local filesystem (os/glob); URI-style paths
+    (``file:``, ``hdfs://``, ``s3://``, ...) resolve through
+    ``pyarrow.fs.FileSystem.from_uri`` — the Arrow-native twin of the
+    Hadoop FileSystem API, so the M5 check is cluster-real without JVM
+    round-trips (VERDICT r3 item 6; the r3 stopgap raised here). A scheme
+    the local Arrow build lacks (e.g. hdfs without libhdfs) still raises
+    loudly instead of silently reading every partition as "absent" and
+    quietly disabling incremental resume."""
     import pyarrow.parquet as pq
 
     if "://" in base or base.startswith("file:"):
-        # file: URIs are "local" to Spark but os.path/glob cannot resolve
-        # them either — they'd silently read as absent, the exact failure
-        # this guard exists to surface. Only scheme-less paths pass.
-        raise NotImplementedError(
-            f"tail validation reads local parquet footers via os paths; got "
-            f"URI-style path {base!r} — pass a plain filesystem path, or "
-            "wire the Hadoop FileSystem API (or Iceberg snapshot metadata) "
-            "for cluster deployments"
-        )
+        from pyarrow import fs as pafs
+
+        try:
+            filesystem, root = pafs.FileSystem.from_uri(base)
+        except Exception as e:  # unsupported scheme must stay LOUD
+            raise NotImplementedError(
+                f"tail validation cannot resolve {base!r} via pyarrow.fs "
+                f"({e}) — unsupported scheme in this Arrow build; use "
+                "Iceberg snapshot metadata for such deployments"
+            ) from e
+        pdir = f"{root.rstrip('/')}/partition_key={key}"
+        if filesystem.get_file_info(pdir).type != pafs.FileType.Directory:
+            return None
+        total = 0
+        for fi in filesystem.get_file_info(pafs.FileSelector(pdir)):
+            if fi.type == pafs.FileType.File and fi.path.endswith(".parquet"):
+                try:
+                    total += pq.read_metadata(fi.path, filesystem=filesystem).num_rows
+                except Exception:  # noqa: BLE001 — unreadable footer = corrupt
+                    return None
+        return total
+
     pdir = os.path.join(base, f"partition_key={key}")
     if not os.path.isdir(pdir):
         return None

@@ -38,22 +38,30 @@ def connected_components(
     max_iter: int = 50,
     eager_checkpoint: bool = True,
     small_graph_threshold: int = 100_000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Compute components over an undirected edge list of long node ids.
 
     Returns (node long, component long) where component is the minimum node
     id in the component (deterministic at any parallelism).
 
-    Size-aware strategy: when the deduplicated edge list is at most
-    ``small_graph_threshold`` rows, the edges are collected and resolved by
-    a driver-side union-find — exactly the reference's in-memory path
-    (RunUpdateWallets2 keeps the whole wallet map on one box). The KG
-    pipeline's entity graph is bounded by the distinct-entity count, which
-    is orders of magnitude below the mention count, so this is the common
-    case; every distributed CC round otherwise costs 3 shuffles + a
-    checkpoint of pure fixed latency (~10 s for a 30-node graph locally).
-    Labels are identical by construction (min node id per component).
-    ``small_graph_threshold=0`` forces the distributed loop (tests do).
+    Size-aware strategy: when the graph has at most
+    ``small_graph_threshold`` deduplicated UNDIRECTED edges (i.e. up to
+    ``2 * small_graph_threshold`` rows of the both-orientations list, which
+    is also the driver-side collect bound of this path), the edges are
+    collected and resolved by a driver-side union-find — exactly the
+    reference's in-memory path (RunUpdateWallets2 keeps the whole wallet
+    map on one box). The KG pipeline's entity graph is bounded by the
+    distinct-entity count, which is orders of magnitude below the mention
+    count, so this is the common case; every distributed CC round otherwise
+    costs 3 shuffles + a checkpoint of pure fixed latency (~10 s for a
+    30-node graph locally). Labels are identical by construction (min node
+    id per component). ``small_graph_threshold=0`` forces the distributed
+    loop (tests and the bench's at-scale CC section do).
+
+    ``stats_out`` (optional dict) receives run evidence: ``path``
+    ("driver" | "distributed"), ``undirected_edges``, and for the
+    distributed loop ``rounds``.
 
     Raises RuntimeError if ``max_iter`` rounds pass without convergence —
     with pointer doubling that needs a component of diameter > 2^max_iter,
@@ -66,7 +74,12 @@ def connected_components(
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     und = und.localCheckpoint(eager=eager_checkpoint) if eager_checkpoint else und.cache()
 
-    if small_graph_threshold and und.count() <= small_graph_threshold:
+    n_und = und.count() if (small_graph_threshold or stats_out is not None) else None
+    if stats_out is not None and n_und is not None:
+        stats_out["undirected_edges"] = n_und // 2
+    if small_graph_threshold and n_und <= 2 * small_graph_threshold:
+        if stats_out is not None:
+            stats_out["path"] = "driver"
         spark = edges.sparkSession
         parent: dict[int, int] = {}
 
@@ -86,6 +99,8 @@ def connected_components(
         out = [(n, find(n)) for n in sorted(nodes)]
         return spark.createDataFrame(out, "node long, component long")
 
+    if stats_out is not None:
+        stats_out["path"] = "distributed"
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
@@ -95,7 +110,17 @@ def connected_components(
         labels = labels.localCheckpoint(eager=True)
 
     converged = False
+    rounds = 0
+    # Convergence detection: labels are node-ids and every update is a min
+    # over (self ∪ neighbors ∪ label-of-label), so per-node labels are
+    # MONOTONICALLY non-increasing — sum(label) is strictly decreasing
+    # until the fixpoint and equal sums ⇔ zero changes. One cheap
+    # map-side-combined aggregate per round replaces the previous
+    # new ⋈ old change-join (2 extra shuffles per round). No overflow:
+    # sum ≤ n_nodes · max_id ≪ 2^63 for any realistic id space.
+    prev_sum = None
     for _ in range(max_iter):
+        rounds += 1
         # 1) candidate labels arriving over edges (one hop)
         msgs = (
             und.join(labels, und.a == labels.node)
@@ -116,23 +141,20 @@ def connected_components(
         )
         if eager_checkpoint:
             new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
 
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"(component diameter would have to exceed 2^{max_iter})"
         )
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -170,6 +170,7 @@ def embedding_dup_pairs(
     planes_per_table: int = 6,
     dim: int = 64,
     exact: bool = False,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos_sim) pairs with cosine >= threshold.
 
@@ -178,6 +179,11 @@ def embedding_dup_pairs(
     collides with p ~ (1-26/180)^6 ≈ 0.38, OR-amplified over 8 tables to
     ~0.98 recall. ``exact=True`` switches to the O(n²) broadcast cross
     join (used by the sf0.01 oracle gate where n=500).
+
+    ``buckets``: optional pre-computed (persisted) ``_multi_table_buckets``
+    frame over the same corpus/params — shares the signature GEMM across
+    operators AND across this function's own self-join sides (an
+    unpersisted frame would re-run the GEMM once per side).
     """
     from . import similarity
 
@@ -221,8 +227,9 @@ def embedding_dup_pairs(
     # candidate generation carries ONLY ids through the bucket join and
     # the dedup shuffle (the vectors would multiply shuffle bytes by
     # ~50x); vectors re-attach at the verify stage.
-    ba = similarity._multi_table_buckets(e, "_id", "_v", num_tables, planes_per_table, dim)
-    ids = ba.select("_id", "_tbl", "_bucket")
+    if buckets is None:
+        buckets = similarity._multi_table_buckets(e, "_id", "_v", num_tables, planes_per_table, dim)
+    ids = buckets.select("_id", "_tbl", "_bucket")
     pairs = (
         ids.join(
             ids.select(F.col("_id").alias("id_b"), "_tbl", "_bucket"), ["_tbl", "_bucket"]

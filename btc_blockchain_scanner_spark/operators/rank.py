@@ -63,6 +63,13 @@ def ranked_by_md5(
     distinct) key set — noise next to the rank's own shuffle.
     """
     if prefix_len is None:
+        # the sizing count is an extra action: without a persist it would
+        # re-execute the full unpersisted upstream lineage once here and
+        # again for the rank itself (the count-then-collect double-eval
+        # similarity._try_vec_closure was rewritten to avoid — ADVICE r3).
+        # Blocks are reaped by the ContextCleaner once df falls out of the
+        # caller's scope; hot callers can pass prefix_len to skip this.
+        df = df.persist()
         n = df.count()
         prefix_len = 2 if n < 10_000_000 else (3 if n < 1_000_000_000 else 4)
     d = df.withColumn("_m", F.md5(F.col(key_col))).withColumn(

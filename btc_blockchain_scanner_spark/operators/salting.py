@@ -72,10 +72,25 @@ def salted_count_distinct(
     )
 
 
-def salt_explode(key: Column, n_salts: int) -> Column:
-    """Broadcast-side replicate helper for a salted skew JOIN: the skewed
-    fact side gets ``with_salt``; the dim side cross-explodes each key to
-    all n_salts variants so the equi-join on (key, salt) still matches —
-    classic salted-join recipe when AQE's runtime skew split is
-    unavailable (e.g. a deterministic-plan requirement)."""
+def salt_explode(n_salts: int) -> Column:
+    """Replicate-side helper for a salted skew JOIN: the dim side
+    cross-explodes each row to all n_salts salt variants so the equi-join
+    on (key, salt) still matches every salted fact row — see
+    :func:`salted_join`."""
     return F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+
+
+def salted_join(
+    fact: DataFrame, dim: DataFrame, on: str, n_salts: int = 32, how: str = "inner"
+) -> DataFrame:
+    """Skew-defusing equi-join: salt the (skewed) fact side with a
+    content-derived salt, replicate each dim row across all ``n_salts``
+    variants, join on (key, salt). A hot fact key spreads over n_salts
+    reduce tasks instead of one — the classic salted-join recipe for when
+    AQE's runtime skew split is unavailable (deterministic-plan
+    requirements, or non-shuffle-join strategies AQE won't touch). Cost:
+    the dim side is written n_salts times into the shuffle, so keep it to
+    genuinely small dimensions (or broadcast instead when it fits)."""
+    f = with_salt(fact, n_salts)
+    d = dim.withColumn("_salt", salt_explode(n_salts))
+    return f.join(d, [on, "_salt"], how).drop("_salt")

@@ -288,6 +288,8 @@ def lsh_topk(
     q_vec: str = "embedding",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    corpus_buckets: DataFrame | None = None,
+    query_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share a bucket in ANY of the hash
     tables; exact cosine re-ranks the deduplicated candidate set.
@@ -295,16 +297,26 @@ def lsh_topk(
     Scale: one equi-join shuffle on (table, bucket) instead of a cross
     join. Cost scales with bucket collision counts, tuned by
     planes_per_table (more planes → smaller buckets → fewer candidates,
-    lower recall) and num_tables (OR-amplified recall)."""
+    lower recall) and num_tables (OR-amplified recall).
+
+    ``corpus_buckets`` / ``query_buckets`` accept a pre-computed (and
+    typically persisted) ``_multi_table_buckets`` frame with the SAME
+    (num_tables, planes_per_table) — callers running several LSH operators
+    over one corpus (t06's recall matrix) share the signature GEMM stage
+    instead of recomputing it per operator/join side."""
     # id-only candidate generation (vectors would multiply the bucket-join
     # and dedup shuffle bytes ~50x); vectors + staged norms re-attach via
     # narrow equi-joins that AQE broadcasts when a side is small.
-    q = _multi_table_buckets(queries, q_id, q_vec, num_tables, planes_per_table, dim).select(
-        "_id", "_tbl", "_bucket"
-    )
-    c = _multi_table_buckets(corpus, c_id, c_vec, num_tables, planes_per_table, dim).select(
-        F.col("_id").alias("c_id"), "_tbl", "_bucket"
-    )
+    if query_buckets is None:
+        query_buckets = _multi_table_buckets(
+            queries, q_id, q_vec, num_tables, planes_per_table, dim
+        )
+    q = query_buckets.select("_id", "_tbl", "_bucket")
+    if corpus_buckets is None:
+        corpus_buckets = _multi_table_buckets(
+            corpus, c_id, c_vec, num_tables, planes_per_table, dim
+        )
+    c = corpus_buckets.select(F.col("_id").alias("c_id"), "_tbl", "_bucket")
     pairs = (
         q.join(c, ["_tbl", "_bucket"])
         .where(F.col("_id") != F.col("c_id"))

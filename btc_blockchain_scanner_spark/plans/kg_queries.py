@@ -293,7 +293,8 @@ _TAG_RULES = (
     per_node AS (SELECT i.node_id, list_sort(list(DISTINCT r.tag)) AS tags
                  FROM ids i JOIN rules r ON r.surface = i.surface
                  GROUP BY i.node_id)
-    SELECT i.node_id, i.surface, COALESCE(p.tags, CAST([] AS VARCHAR[])) AS tags
+    SELECT i.node_id, i.surface,
+           COALESCE(array_to_string(p.tags, ','), '') AS tags
     FROM ids i LEFT JOIN per_node p USING (node_id)
     """,
 )
@@ -301,7 +302,14 @@ def kg12_tagged_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tags schema end-to-end (reference create-db-structure-tags.sql:1-31):
     deterministic tag dimension (rank-of-md5 ids), curated rules → entity_tag
     link table, read-side join-back decorating every node with a sorted
-    (possibly empty) tag-name array — the F8 coalesce shape."""
+    (possibly empty) tag-name array — the F8 coalesce shape.
+
+    Gate serialization: the library function (tagmod.tagged_nodes) returns a
+    genuine array<string> for users, but the DRIVER's pandas hash gate cannot
+    sort/hash list cells (the r3 red row), so the registered query emits the
+    sorted array as a canonical comma-joined string — the a06 pattern
+    (plans/relational_queries.py), applied identically on the oracle side
+    with array_to_string + COALESCE('') for the empty default."""
     from ..kg import tags as tagmod
     from ..operators.rank import ranked_by_md5
 
@@ -318,7 +326,10 @@ def kg12_tagged_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node_id").cast("int").alias("entity_id"), F.col("surface").alias("display_name")
     )
     et = tagmod.tag_entities(entities, rules, tagd)
-    return tagmod.tagged_nodes(nodes, et, tagd)
+    tagged = tagmod.tagged_nodes(nodes, et, tagd)
+    # tags is already array_sort'ed (kg/tags.py); empty array → '' matches
+    # the oracle's COALESCE(array_to_string(...), '')
+    return tagged.withColumn("tags", F.concat_ws(",", "tags"))
 
 
 # ---- transcript-domain oracles (VERDICT r02 item 2) -------------------------

@@ -94,17 +94,15 @@ def a01_lines_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "p03_nonempty_orders",
-    oracle="""
-    SELECT COUNT(*) AS n FROM (
-      SELECT o_orderkey FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-      GROUP BY o_orderkey HAVING COUNT(*) > 0)
-    """,
-)
 def p03_nonempty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 non-empty filter (reference: `.filter(tx -> tx.getNInputs() != 0)`,
-    RunUpdateWallets2.java:158)."""
+    RunUpdateWallets2.java:158).
+
+    NOT registered with the driver since r4 (50-row cap): the shape is
+    fully subsumed by p02/a04's evidence (VERDICT r3 item 5 named it the
+    redundant row); its slot went to t07_dedup_groups. Stays a library
+    function with an oracle-snapshot pytest (tests/test_pipeline.py), the
+    same documented rotation as a08/q06/q13."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     nonempty = (

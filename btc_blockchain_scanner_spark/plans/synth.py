@@ -15,20 +15,46 @@ block-file staging dir, RunPrepareBlockFiles.java:49-86); locally /tmp.
 
 from __future__ import annotations
 
+import hashlib
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 
 SYNTH_DIR = "/tmp/spark_graft_synth"
-_V = "v1"  # bump when datagen/asset generation changes
+
+
+@lru_cache(maxsize=4)
+def _generator_fp(kind: str) -> str:
+    """Content fingerprint of the generator source — the path version tag.
+
+    A hand-bumped version string (r3's ``_V = 'v1'``) silently serves a
+    STALE /tmp table to BOTH the Spark query and the DuckDB oracle when the
+    generator changes without a bump — oracle parity then masks the
+    staleness (ADVICE r3). Hashing the generating module's source text makes
+    the path change automatically with any generator edit; vocab is included
+    for transcripts because datagen's output is a function of it."""
+    import inspect
+
+    from ..kg import datagen, vocab
+    from ..operators import multimodal
+
+    srcs = {
+        "transcripts": (datagen, vocab),
+        "assets": (multimodal,),
+    }[kind]
+    h = hashlib.md5()
+    for mod in srcs:
+        h.update(inspect.getsource(mod).encode())
+    return h.hexdigest()[:10]
 
 
 def transcripts_path(n_convs: int, seed: int = 42) -> str:
-    return f"{SYNTH_DIR}/transcripts_{_V}_n{n_convs}_s{seed}"
+    return f"{SYNTH_DIR}/transcripts_{_generator_fp('transcripts')}_n{n_convs}_s{seed}"
 
 
 def assets_path(n: int) -> str:
-    return f"{SYNTH_DIR}/assets_{_V}_n{n}"
+    return f"{SYNTH_DIR}/assets_{_generator_fp('assets')}_n{n}"
 
 
 def _done(path: str) -> bool:

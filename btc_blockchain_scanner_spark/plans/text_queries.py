@@ -165,6 +165,53 @@ def t05_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t07_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len({_D_TOKS}) - 1, 1)),
+               i -> array_to_string(({_D_TOKS})[i:i+2], ' '))) AS sh
+      FROM documents
+      WHERE len({_D_TOKS}) >= 3),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+    und AS (SELECT id_a AS src, id_b AS dst FROM p
+            UNION SELECT id_b, id_a FROM p),
+    nodes AS (SELECT DISTINCT src AS id FROM und),
+    reach(src, dst) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst)
+    SELECT n.id AS doc_id, CAST(MIN(r.dst) AS BIGINT) AS keep_id
+    FROM nodes n JOIN reach r ON r.src = n.id
+    GROUP BY n.id
+    """,
+)
+def t07_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup END TO END: near-dup pairs (t05's word-3-gram Jaccard
+    >= 0.5 relation) become an undirected similarity graph, connected
+    components canonicalize each dup cluster to its min doc id — exactly
+    the reference's wallet construction (co-spend pairs → union-find →
+    min-wallet relabel, RunUpdateWallets2.java:151-263) applied to the
+    document-dedup domain: transitive near-dup chains (A~B~C with A!~C)
+    collapse to ONE keep-id, which pairwise dedup alone cannot do. Output:
+    (doc_id, keep_id) for every doc in a dup cluster; keep_id == doc_id
+    marks the cluster's survivor. Oracle: an independent WITH RECURSIVE
+    min-label transitive closure over the brute-forced pair relation
+    (kg04 pattern, documents domain)."""
+    from ..operators.cc import connected_components
+
+    pairs = dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges, "src", "dst")
+    return comp.select(F.col("node").alias("doc_id"), F.col("component").alias("keep_id"))
+
+
 def _family_stats(name: str, e: DataFrame, a: DataFrame, keys: list[str]) -> DataFrame:
     """One (family, n_exact, n_approx, n_matched, recall) row. All three
     counts are DataFrame aggregates — no driver-side loop; the five family
@@ -217,10 +264,17 @@ def t06_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_s = emb.where(F.col("vec_id") < 2000)
 
     # stage-sharing: the n-gram families split off ONE persisted shingle
-    # frame, the simhash families ONE persisted signature frame — the
-    # expensive first stages run once, not per family.
+    # frame, the simhash families ONE persisted signature frame, and the
+    # three hyperplane-LSH families (emb_lsh + top_lsh, query side
+    # included since q ⊂ emb_s) ONE persisted bucket-signature frame at
+    # 12×3 — the expensive first stages run once, not per family or per
+    # self-join side (VERDICT r3 item 4).
     sh3 = dedup.shingle_docs(docs_s, n=3).persist()
     sigs = dedup.simhash_signatures(docs_s).persist()
+    eb = similarity._multi_table_buckets(
+        emb_s.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")),
+        "_id", "_v", num_tables=12, planes_per_table=3, dim=64,
+    ).persist()
     # every pair set is consumed twice (its own count + the match semi-join)
     # and some are expensive O(n²) baselines — persist them all; everything
     # is unpersisted after the 5 result rows materialize below.
@@ -235,15 +289,16 @@ def t06_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_band = dedup.simhash_dup_pairs(docs_s, max_hamming=3, sigs=sigs).persist()
     emb_exact = dedup.embedding_dup_pairs(emb_s, threshold=0.35, exact=True).persist()
     emb_lsh = dedup.embedding_dup_pairs(
-        emb_s, threshold=0.35, num_tables=12, planes_per_table=3
+        emb_s, threshold=0.35, num_tables=12, planes_per_table=3, buckets=eb
     ).persist()
     q = emb.where(F.col("vec_id") < 50)
     top_exact = similarity.brute_force_topk(q, emb_s, k=1).select("q_id", "c_id").persist()
     # 12 tables x 3 planes: P(candidate) = 1-(1-p^3)^12 >= 0.94 even at the
     # weak top-1 cosines of this corpus (~0.3-0.5 → p ~0.6) — measured 0.96
-    top_lsh = similarity.lsh_topk(q, emb_s, k=1, num_tables=12, planes_per_table=3).select(
-        "q_id", "c_id"
-    ).persist()
+    top_lsh = similarity.lsh_topk(
+        q, emb_s, k=1, num_tables=12, planes_per_table=3,
+        corpus_buckets=eb, query_buckets=eb.where(F.col("_id") < 50),
+    ).select("q_id", "c_id").persist()
     # IVF probes 8/16 inverted lists; this corpus is deliberately weakly
     # clustered so ~0.86-0.88 is its honest ceiling here (IVF's advantage
     # needs cluster structure — on a clustered corpus it hits >= 0.95,
@@ -258,7 +313,7 @@ def t06_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured ~35% slower than the same stages run isolated (76 s vs 56 s
     # at sf0.1) — local-mode worker churn, same mechanism as the bench's
     # clearCache ordering note.
-    for fam in (sh3, sigs, jacc_exact, minhash, winnow, sim_exact, sim_band,
+    for fam in (sh3, sigs, eb, jacc_exact, minhash, winnow, sim_exact, sim_band,
                 emb_exact, emb_lsh, top_exact, top_lsh, top_ivf):
         fam.count()
 
@@ -277,7 +332,7 @@ def t06_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver runs all queries in one session with no cache isolation.
     rows = out.collect()
     for df in (
-        sh3, sigs, jacc_exact, minhash, winnow, sim_exact, sim_band, emb_exact,
+        sh3, sigs, eb, jacc_exact, minhash, winnow, sim_exact, sim_band, emb_exact,
         emb_lsh, top_exact, top_lsh, top_ivf,
     ):
         df.unpersist()

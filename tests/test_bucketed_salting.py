@@ -78,6 +78,28 @@ def test_salted_count_distinct_matches_plain(spark):
     assert got == want
 
 
+def test_salted_join_matches_plain_join(spark):
+    # 'hub' is 90% of fact rows (the HUB_ENTITY shape); dim is small
+    fact = spark.createDataFrame(
+        [("hub", i) for i in range(4500)] + [(f"k{i % 9}", i) for i in range(500)],
+        "k string, v long",
+    )
+    dim = spark.createDataFrame(
+        [("hub", "H")] + [(f"k{i}", f"D{i}") for i in range(9)] + [("absent", "X")],
+        "k string, d string",
+    )
+    got = {tuple(r) for r in salting.salted_join(fact, dim, "k", n_salts=8).collect()}
+    want = {tuple(r) for r in fact.join(dim, "k").collect()}
+    assert got == want
+    # left join keeps unmatched fact rows exactly once
+    fact2 = fact.union(spark.createDataFrame([("orphan", -1)], "k string, v long"))
+    got_l = {
+        tuple(r) for r in salting.salted_join(fact2, dim, "k", n_salts=8, how="left").collect()
+    }
+    want_l = {tuple(r) for r in fact2.join(dim, "k", "left").collect()}
+    assert got_l == want_l
+
+
 def test_salt_is_deterministic_across_parallelism(spark):
     df = spark.createDataFrame([(f"k{i}", i) for i in range(200)], "k string, v long")
     old = spark.conf.get("spark.sql.shuffle.partitions")

@@ -156,6 +156,35 @@ def test_ranked_by_md5_matches_global_window(spark):
     assert got == want
 
 
+def test_stats_out_reports_path_and_rounds(spark):
+    # the bench's at-scale CC section consumes this evidence channel
+    edges = [(i, i + 1) for i in range(1, 20)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    st_fast: dict = {}
+    connected_components(df, small_graph_threshold=100, stats_out=st_fast).count()
+    assert st_fast == {"undirected_edges": 19, "path": "driver"}
+    st_slow: dict = {}
+    connected_components(df, small_graph_threshold=0, stats_out=st_slow).count()
+    assert st_slow["path"] == "distributed"
+    assert st_slow["undirected_edges"] == 19
+    # pointer doubling on a 20-node path: well under one-hop's 19 rounds
+    assert 1 <= st_slow["rounds"] <= 7
+
+
+def test_threshold_counts_undirected_edges(spark):
+    # the docstring promises the threshold bounds DEDUPLICATED UNDIRECTED
+    # edges (ADVICE r3: the old code compared the doubled orientation list,
+    # silently halving the effective cap)
+    edges = [(i, i + 1) for i in range(1, 12)]  # 11 undirected edges
+    df = spark.createDataFrame(edges, "src long, dst long")
+    st: dict = {}
+    connected_components(df, small_graph_threshold=11, stats_out=st).count()
+    assert st["path"] == "driver"  # 11 <= 11 → fast path
+    st2: dict = {}
+    connected_components(df, small_graph_threshold=10, stats_out=st2).count()
+    assert st2["path"] == "distributed"  # 11 > 10 → loop
+
+
 def test_nonconvergence_raises(spark):
     # max_iter=0 can never converge → must raise, not silently mislabel
     import pytest

@@ -39,6 +39,7 @@ def main():
     filters = sys.argv[2:]
 
     import __spark_entry__ as entry_mod
+    from btc_blockchain_scanner_spark.plans.registry import complex_toplevel_columns
     from btc_blockchain_scanner_spark.session import get_spark
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
@@ -58,6 +59,19 @@ def main():
         t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
+            # DRIVER-CONTRACT check (the r3 kg12 lesson): the driver's
+            # canonicalizer sorts/hashes rows via pandas, which dies on
+            # array/map/struct cells — this gate must fail on them locally
+            # even though str(v) below would happily serialize them.
+            bad = complex_toplevel_columns(sdf.schema)
+            if bad:
+                print(
+                    f"FAIL {name}: driver-contract violation — complex "
+                    f"top-level column(s) {bad}; serialize with concat_ws/"
+                    "to_json (see plans/registry.py docstring)"
+                )
+                failures.append(name)
+                continue
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
