@@ -158,6 +158,42 @@ def ngram_jaccard_pairs(
     return cand.select("id_a", "id_b", jacc.alias("jacc")).where(F.col("jacc") >= threshold)
 
 
+def cross_contamination(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 8,
+) -> DataFrame:
+    """Benchmark-decontamination pass: flag training docs sharing at least
+    ``min_shared`` distinct word-n-gram shingles with ANY eval doc.
+
+    The standard pre-training hygiene step (the cross-table twin of
+    :func:`ngram_jaccard_pairs`): both sides shingle once, candidates come
+    from an equi-join on the shingle — at production scale the eval side
+    is tiny relative to the corpus, so its exploded shingle set broadcasts
+    and the train side streams through map-side, no shuffle of the corpus.
+    Output: (train_id, eval_id, shared_shingles) per contaminated pair,
+    one row per (train, eval) hit — callers `.select("train_id").distinct()`
+    for the drop list.
+    """
+    ts = shingle_docs(train, id_col, text_col, n).select(
+        F.col("_id").alias("train_id"), F.explode("_sh").alias("_g")
+    )
+    es = shingle_docs(evalset, id_col, text_col, n).select(
+        F.col("_id").alias("eval_id"), F.explode("_sh").alias("_g")
+    )
+    # _sh is distinct per doc, so the join-count equals |shingles(train) ∩
+    # shingles(eval)| exactly — same arithmetic-overlap trick as Jaccard
+    return (
+        ts.join(F.broadcast(es), "_g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= min_shared)
+    )
+
+
 # -- embedding-cosine near-dup -------------------------------------------------
 
 

@@ -184,3 +184,39 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert len(approx) == len(exact)
     ratio = sum(approx[k][1] / v[1] for k, v in exact.items() if v[1] > 0) / len(exact)
     assert ratio >= 0.8, ratio
+
+
+def test_cross_contamination_matches_bruteforce(spark, sf_dir):
+    """Decontamination (cross-table shared-shingle flagging) vs a DuckDB
+    brute-force intersect over the same corpus: eval set = first 10 docs,
+    train = the rest."""
+    import duckdb
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") >= 10)
+    evalset = docs.where(F.col("doc_id") < 10)
+    got = {
+        (r.train_id, r.eval_id, r.shared_shingles)
+        for r in dedup.cross_contamination(train, evalset, n=3, min_shared=4).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    want = set(
+        con.execute(
+            f"""
+            WITH s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len({toks}) - 1, 1)),
+                       i -> array_to_string(({toks})[i:i+2], ' '))) AS sh
+              FROM documents WHERE len({toks}) >= 3)
+            SELECT t.doc_id, e.doc_id, len(list_intersect(t.sh, e.sh))
+            FROM s t JOIN s e ON t.doc_id >= 10 AND e.doc_id < 10
+            WHERE len(list_intersect(t.sh, e.sh)) >= 4
+            """
+        ).fetchall()
+    )
+    assert got == want
+    assert got, "fixture should contain at least one contaminated pair"

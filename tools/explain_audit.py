@@ -33,6 +33,13 @@ CHECKS = {
     "kg10_transcript_triples": ["ArrowEvalPython"],
     # tags read-side join-back: the tag dim joins broadcast
     "kg12_tagged_nodes": ["BroadcastHashJoin"],
+    # grouping-sets lattice runs as ONE Expand + aggregate, not 4 unioned
+    # scans
+    "a07_grouping_sets": ["Expand", "HashAggregate"],
+    # (t07_dedup_groups is NOT audited here: its pair stage is t05's —
+    # already asserted cartesian-free — and its CC stage returns a
+    # materialized local relation on the fast path, so the final explain
+    # would be a vacuous LocalTableScan.)
 }
 
 NEG_CHECKS = {
@@ -42,6 +49,7 @@ NEG_CHECKS = {
     # <=256-row bucket-count offset window (a sum(), not a row_number()).
     "kg03_entity_ids": [r"Exchange SinglePartition(?:(?!Exchange)[\s\S]){0,800}row_number\(\)"],
     # t05: candidate generation must never degenerate to a cross join
+    # (t07 reuses this exact pair stage)
     "t05_ngram_jaccard_dups": [r"CartesianProduct"],
     # row-at-a-time Python would be the slow path everywhere
     "kg10_transcript_triples": [r"BatchEvalPython"],
