@@ -187,3 +187,74 @@ def run(
 
 def read_table(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, name))
+
+
+def incremental_update(
+    spark: SparkSession,
+    new_transcripts: DataFrame,
+    state_dir: str,
+    alias_dict: DataFrame | None = None,
+) -> dict:
+    """One incremental KG batch — the ``update_wallets`` per-batch loop body
+    (RunUpdateWallets2.java:107-133: fetch the next tx batch, resolve
+    addresses against the EXISTING wallet table, merge wallets in place).
+
+    Per batch of newly landed transcripts:
+
+    1. extract mentions (Arrow UDF — batch only, not the corpus);
+    2. link against the persisted ``entities`` state table — get-or-create
+       keeps ids stable across batches (M1 watermark semantics);
+    3. derive co-mention star edges for the batch;
+    4. merge them into the persisted ``canon_map`` via
+       :func:`canonicalize.incremental_canon_update` — CC runs over the
+       CONTRACTED batch graph only, never the full edge history;
+    5. upsert both state tables through the MERGE sink (atomic swap,
+       crash-recoverable) and re-attach singleton entities so the canon
+       map stays total over the entities table.
+
+    Equivalent canonical STRUCTURE to a full recompute over all batches
+    (property-tested); entity ids depend on arrival order, exactly like
+    the reference's counter-assigned wallet ids. Returns the MERGE op
+    counters per state table (DbUpdate.printStats analog).
+    """
+    from ..sources.merge import merge_upsert
+    from . import canonicalize as canonmod
+
+    alias_dict = alias_dict if alias_dict is not None else link.default_alias_dict(spark)
+    ents_path = f"{state_dir}/entities"
+    canon_path = f"{state_dir}/canon_map"
+
+    existing_ents = spark.read.parquet(ents_path) if os.path.isdir(ents_path) else None
+    extracted = extract.extract(new_transcripts).persist()
+    mentions = extract.mentions_from(extracted)
+    linked, entities = link.link_mentions(
+        mentions, alias_dict, entities=existing_ents, spark=spark
+    )
+    # cut lineage to the state paths NOW: both upserts below atomically
+    # swap the very parquet dirs these plans read from — a lazy plan
+    # evaluated after the first swap would chase deleted files
+    entities = entities.localCheckpoint(eager=True)
+    edges = canonmod.comention_edges(linked)
+
+    if os.path.isdir(canon_path):
+        canon = canonmod.incremental_canon_update(spark.read.parquet(canon_path), edges)
+    else:
+        canon = canonmod.canon_map(entities, edges)
+    # total-ize over the (updated) entities table: batch singletons and
+    # never-edged entities canonicalize to themselves — the same read-time
+    # coalesce canon_map performs
+    canon = (
+        entities.select("entity_id")
+        .join(canon, "entity_id", "left")
+        .select(
+            "entity_id",
+            F.coalesce(F.col("canon_id"), F.col("entity_id")).cast("int").alias("canon_id"),
+        )
+    ).localCheckpoint(eager=True)  # same swap-safety as entities above
+
+    stats = {
+        "entities": merge_upsert(spark, ents_path, entities, ["entity_id"]),
+        "canon_map": merge_upsert(spark, canon_path, canon, ["entity_id"]),
+    }
+    extracted.unpersist()
+    return stats

@@ -336,3 +336,54 @@ def test_pipeline_deterministic_across_parallelism(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert outs["lo"] == outs["hi"]
+
+
+def test_incremental_update_matches_full_canon_structure(spark, tmp_path):
+    """The per-batch incremental pass (update_wallets loop body: link
+    against existing entities, contract + merge into the persisted canon
+    map) must produce the SAME canonical partition of entity keys as one
+    full pass over everything — ids may differ (arrival-order watermark,
+    like the reference's counter-assigned wallet ids), structure may not."""
+    tr = datagen.transcripts(spark, n_convs=30).cache()
+    b1 = tr.where(F.col("conv_id") < "conv_00000015")
+    b2 = tr.where(F.col("conv_id") >= "conv_00000015")
+
+    inc_state = str(tmp_path / "inc")
+    s1 = pipeline.incremental_update(spark, b1, inc_state)
+    s2 = pipeline.incremental_update(spark, b2, inc_state)
+    assert s1["entities"]["inserted"] > 0
+    assert s2["canon_map"]["updated"] + s2["canon_map"]["kept"] > 0
+
+    full_state = str(tmp_path / "full")
+    pipeline.incremental_update(spark, tr, full_state)
+
+    def partition(state):
+        ents = spark.read.parquet(f"{state}/entities")
+        canon = spark.read.parquet(f"{state}/canon_map")
+        names = {r.entity_id: r.display_name for r in ents.collect()}
+        groups: dict = {}
+        for r in canon.collect():
+            groups.setdefault(r.canon_id, set()).add(names[r.entity_id])
+        # canon map must be total over the entities table
+        assert sum(len(v) for v in groups.values()) == len(names)
+        return {frozenset(v) for v in groups.values()}
+
+    assert partition(inc_state) == partition(full_state)
+
+
+def test_incremental_update_deterministic_rerun(spark, tmp_path):
+    """Replaying the same batch sequence yields byte-identical state —
+    the cross-batch id-watermark determinism contract (SURVEY §7.3b)."""
+    tr = datagen.transcripts(spark, n_convs=20).cache()
+    b1 = tr.where(F.col("conv_id") < "conv_00000010")
+    b2 = tr.where(F.col("conv_id") >= "conv_00000010")
+    tables = {}
+    for run in ("a", "b"):
+        state = str(tmp_path / run)
+        pipeline.incremental_update(spark, b1, state)
+        pipeline.incremental_update(spark, b2, state)
+        tables[run] = {
+            t: {tuple(r) for r in spark.read.parquet(f"{state}/{t}").collect()}
+            for t in ("entities", "canon_map")
+        }
+    assert tables["a"] == tables["b"]
