@@ -97,6 +97,11 @@ def main() -> None:
         "value": headline_total,
         "unit": "sec",
         "all_queries_total": round(sum(timings.values()), 3),
+        # r4+: entries in `queries` that are scale-evidence sections, not
+        # registered queries — exclude when diffing query walls vs r3
+        "evidence_sections": [
+            k for k in ("cc_distributed_5m", "kg_pipeline_e2e_100k") if k in timings
+        ],
         "queries": timings,
         "dedup_recall": recall_rows,
         "sf": SF_DIR,
