@@ -481,6 +481,8 @@ def ivf_topk(
     q_vec: str = "embedding",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+    corpus_assign: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF index: corpus vectors go to their single
     nearest centroid's inverted list; each query probes its ``n_probe``
@@ -491,10 +493,25 @@ def ivf_topk(
     (cluster structure) where LSH's are data-oblivious (random planes), so
     IVF needs far fewer candidates on clustered corpora — cost ~
     n_probe/n_centroids of the corpus per query. The bucket join shuffles
-    ids only, exactly like the LSH path."""
-    C = ivf_centroids(corpus, c_id, c_vec, n_centroids, lloyd_iters)
-    c_assign = _assign_clusters(corpus, c_id, c_vec, C, n_probe=1).select(
-        F.col("_id").alias("c_id"), "_cluster"
+    ids only, exactly like the LSH path.
+
+    ``centroids`` / ``corpus_assign`` accept a pre-built index (the
+    centroid matrix from :func:`ivf_centroids` and a persisted
+    (c_id, _cluster) assignment) so repeated query batches pay only the
+    probe + re-rank cost — at production scale the inverted lists are a
+    materialized table, rebuilt per corpus epoch, not per query batch
+    (same amortization as the LSH ``corpus_buckets`` param)."""
+    C = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, c_id, c_vec, n_centroids, lloyd_iters)
+    )
+    c_assign = (
+        corpus_assign
+        if corpus_assign is not None
+        else _assign_clusters(corpus, c_id, c_vec, C, n_probe=1).select(
+            F.col("_id").alias("c_id"), "_cluster"
+        )
     )
     q_assign = _assign_clusters(queries, q_id, q_vec, C, n_probe=n_probe).select(
         F.col("_id").alias("q_id"), "_cluster"
