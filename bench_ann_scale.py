@@ -92,8 +92,6 @@ def main() -> None:
     )
     corpus.count(), queries.count()  # materialize outside timed windows
 
-    import numpy as np
-
     planted = {int(k + Q_ID_OFFSET): int(k * Q_BASE_STRIDE) for k in range(N_QUERIES)}
 
     def recall(df) -> float:
@@ -140,7 +138,6 @@ def main() -> None:
     report["ivf_recall"] = round(recall(ivf), 4)
     report["ivf_query_wall_sec"] = round(time.perf_counter() - t0, 2)
 
-    _ = np  # numpy imported for mapper closures only
     print(json.dumps(report))
     spark.stop()
 
