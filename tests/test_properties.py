@@ -150,3 +150,46 @@ def test_salted_aggs_equal_plain(spark, rows, n_salts):
         (r.k, r.n) for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
     }
     assert got_n == want_n
+
+
+edge_batches_strategy = st.lists(
+    st.lists(
+        st.tuples(st.integers(1, 25), st.integers(1, 25)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=10,
+    ),
+    min_size=2,
+    max_size=3,
+)
+
+
+@given(batches=edge_batches_strategy)
+@settings(**_SETTINGS)
+def test_incremental_canon_equals_full_for_any_batching(spark, batches):
+    """For ANY edge set and ANY batching of it, folding batches through
+    incremental_canon_update equals one full canon_map over the union —
+    the contraction argument (canon ids are component minima, so CC over
+    the contracted batch graph preserves global minima) holds on
+    adversarial structure, not just the handcrafted fixtures."""
+    from btc_blockchain_scanner_spark.kg.canonicalize import (
+        canon_map,
+        incremental_canon_update,
+    )
+
+    nodes = sorted({n for batch in batches for e in batch for n in e})
+    ents = spark.createDataFrame([(n,) for n in nodes], "entity_id int")
+
+    canon = canon_map(ents, spark.createDataFrame(batches[0], "src long, dst long"))
+    for batch in batches[1:]:
+        canon = incremental_canon_update(
+            canon, spark.createDataFrame(batch, "src long, dst long")
+        )
+
+    full = canon_map(
+        ents,
+        spark.createDataFrame([e for b in batches for e in b], "src long, dst long"),
+    )
+    dom = {r.entity_id for r in canon.select("entity_id").collect()}
+    got = {(r.entity_id, r.canon_id) for r in canon.collect()}
+    want = {(r.entity_id, r.canon_id) for r in full.collect() if r.entity_id in dom}
+    assert got == want
