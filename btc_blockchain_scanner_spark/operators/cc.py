@@ -147,6 +147,17 @@ def connected_components(
             converged = True
             break
         prev_sum = cur_sum
+        if eager_checkpoint:
+            # superseded round checkpoints (old labels/hop blocks) are only
+            # reaped by the ContextCleaner AFTER their py4j references are
+            # collected; without this nudge a big graph accumulates
+            # O(rounds × nodes) dead blocks in one JVM and GC-thrashes
+            # (observed at 20M edges / 22M nodes) — same mechanism as the
+            # bench's between-query nudge (PERFORMANCE.md r3)
+            import gc
+
+            del msgs, hop, lmap, new_labels
+            gc.collect()
 
     if not converged:
         raise RuntimeError(
