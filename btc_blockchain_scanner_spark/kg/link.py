@@ -152,7 +152,9 @@ def get_or_create_entities(
     max_id = existing.agg(F.coalesce(F.max("entity_id"), F.lit(0))).collect()[0][0]
     from ..operators.rank import ranked_by_md5
 
-    new_entities = ranked_by_md5(new, "entity_key", "entity_id", offset=int(max_id)).select(
+    new_entities = ranked_by_md5(
+        new, "entity_key", "entity_id", offset=int(max_id), prefix_len=2
+    ).select(
         F.col("entity_id").cast("int").alias("entity_id"),
         F.lit("concept").alias("entity_type"),
         F.md5(F.col("entity_key")).alias("canonical_hash"),

@@ -220,6 +220,20 @@ def incremental_update(
     from ..sources.merge import merge_upsert
     from . import canonicalize as canonmod
 
+    if "://" in state_dir or state_dir.startswith("file:"):
+        # the os.path.isdir state probes below would silently read a URI
+        # path as "no existing state", reassign entity ids from scratch and
+        # let merge_upsert's missing-target branch overwrite batch 1 —
+        # silent state loss (ADVICE r4; the checkpoints.py r3 failure mode).
+        # The POSIX merge sink is a documented Iceberg-MERGE stand-in
+        # (sources/merge.py), so a remote state_dir is out of scope: fail
+        # loudly before any work, exactly like the old _partition_rowcount
+        # guard did.
+        raise NotImplementedError(
+            "incremental_update: URI state_dir is not supported by the "
+            "local-POSIX merge sink (sources/merge.py docstring); pass a "
+            "plain local path or swap in an Iceberg MERGE sink"
+        )
     alias_dict = alias_dict if alias_dict is not None else link.default_alias_dict(spark)
     ents_path = f"{state_dir}/entities"
     canon_path = f"{state_dir}/canon_map"

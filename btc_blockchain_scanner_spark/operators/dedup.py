@@ -165,6 +165,7 @@ def cross_contamination(
     text_col: str = "text",
     n: int = 3,
     min_shared: int = 8,
+    broadcast_max_shingles: int | None = 5_000_000,
 ) -> DataFrame:
     """Benchmark-decontamination pass: flag training docs sharing at least
     ``min_shared`` distinct word-n-gram shingles with ANY eval doc.
@@ -177,6 +178,17 @@ def cross_contamination(
     Output: (train_id, eval_id, shared_shingles) per contaminated pair,
     one row per (train, eval) hit — callers `.select("train_id").distinct()`
     for the drop list.
+
+    The "eval side is tiny" assumption is CHECKED, not assumed (ADVICE
+    r4): the exploded eval shingle set is counted first and the broadcast
+    hint is applied only under ``broadcast_max_shingles`` rows (~hundreds
+    of MB at the 5M default); above it — a huge eval suite or very long
+    eval docs — the plan falls back to a shuffle join and lets AQE pick
+    the strategy instead of blowing the driver heap on a forced broadcast.
+    The sizing count re-runs the eval-side shingle UDF once; by the same
+    contract that made broadcasting plausible, that pass is cheap — and
+    when it isn't, the count is exactly what saves the job.
+    ``broadcast_max_shingles=None`` skips the count and never hints.
     """
     ts = shingle_docs(train, id_col, text_col, n).select(
         F.col("_id").alias("train_id"), F.explode("_sh").alias("_g")
@@ -184,10 +196,12 @@ def cross_contamination(
     es = shingle_docs(evalset, id_col, text_col, n).select(
         F.col("_id").alias("eval_id"), F.explode("_sh").alias("_g")
     )
+    if broadcast_max_shingles is not None and es.count() <= broadcast_max_shingles:
+        es = F.broadcast(es)
     # _sh is distinct per doc, so the join-count equals |shingles(train) ∩
     # shingles(eval)| exactly — same arithmetic-overlap trick as Jaccard
     return (
-        ts.join(F.broadcast(es), "_g")
+        ts.join(es, "_g")
         .groupBy("train_id", "eval_id")
         .agg(F.count("*").alias("shared_shingles"))
         .where(F.col("shared_shingles") >= min_shared)

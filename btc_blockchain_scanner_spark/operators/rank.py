@@ -63,14 +63,17 @@ def ranked_by_md5(
     distinct) key set — noise next to the rank's own shuffle.
     """
     if prefix_len is None:
-        # the sizing count is an extra action: without a persist it would
-        # re-execute the full unpersisted upstream lineage once here and
-        # again for the rank itself (the count-then-collect double-eval
-        # similarity._try_vec_closure was rewritten to avoid — ADVICE r3).
-        # Blocks are reaped by the ContextCleaner once df falls out of the
-        # caller's scope; hot callers can pass prefix_len to skip this.
-        df = df.persist()
-        n = df.count()
+        # the sizing count is an extra action, so the auto path pays one
+        # extra execution of the upstream lineage (narrowed to key_col).
+        # r4 cached df here instead, but the persist could never be
+        # released: the function returns a LAZY frame, so the cached
+        # blocks outlived every call in a long-lived session (ADVICE r4 —
+        # each registered-query run leaked a cached frame). Hot callers
+        # (all five production sites: kg03/kg12/tag_dim/link/materialize,
+        # which rank small DISTINCT key sets) now pass prefix_len and
+        # never reach this branch; the auto path stays a convenience for
+        # exploratory use where one extra key-column scan is noise.
+        n = df.select(key_col).count()
         prefix_len = 2 if n < 10_000_000 else (3 if n < 1_000_000_000 else 4)
     d = df.withColumn("_m", F.md5(F.col(key_col))).withColumn(
         "_b", F.conv(F.substring(F.col("_m"), 1, prefix_len), 16, 10).cast("int")

@@ -90,7 +90,22 @@ def salted_join(
     AQE's runtime skew split is unavailable (deterministic-plan
     requirements, or non-shuffle-join strategies AQE won't touch). Cost:
     the dim side is written n_salts times into the shuffle, so keep it to
-    genuinely small dimensions (or broadcast instead when it fits)."""
+    genuinely small dimensions (or broadcast instead when it fits).
+
+    ``how`` is restricted to fact-side-preserving joins (inner / left /
+    left_semi / left_anti): the dim side is REPLICATED n_salts times, so
+    any dim-preserving variant (right/full) would emit every unmatched
+    dim row once per salt — n_salts phantom rows (ADVICE r4). Those
+    shapes don't need salting anyway (the unmatched-dim side is the
+    small side); raise instead of returning wrong multiplicity."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched dim rows "
+            f"{n_salts}x (dim side is salt-replicated); use a plain join "
+            "for right/full shapes"
+        )
     f = with_salt(fact, n_salts)
     d = dim.withColumn("_salt", salt_explode(n_salts))
     return f.join(d, [on, "_salt"], how).drop("_salt")

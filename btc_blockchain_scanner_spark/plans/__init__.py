@@ -19,6 +19,7 @@ from . import relational_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 from . import kg_queries  # noqa: E402,F401
 from . import extended_queries  # noqa: E402,F401
+from . import curation_queries  # noqa: E402,F401
 
 MAX_DRIVER_QUERIES = 50
 

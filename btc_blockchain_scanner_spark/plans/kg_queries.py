@@ -137,7 +137,7 @@ def kg03_entity_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("surface").isin(*DOC_ENTITIES))
         .distinct()
     )
-    return ranked_by_md5(surfaces, "surface", "entity_id").select(
+    return ranked_by_md5(surfaces, "surface", "entity_id", prefix_len=2).select(
         "surface", F.col("entity_id").cast("int").alias("entity_id")
     )
 
@@ -175,7 +175,7 @@ def kg04_canonical_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tr.select(F.col("obj").alias("surface")))
         .distinct()
     )
-    ids = ranked_by_md5(surfaces, "surface", "id").select("surface", "id")
+    ids = ranked_by_md5(surfaces, "surface", "id", prefix_len=2).select("surface", "id")
     edges = (
         tr.join(ids.withColumnRenamed("surface", "subj").withColumnRenamed("id", "src"), "subj")
         .join(ids.withColumnRenamed("surface", "obj").withColumnRenamed("id", "dst"), "obj")
@@ -319,7 +319,7 @@ def kg12_tagged_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("surface").isin(*DOC_ENTITIES))
         .distinct()
     )
-    nodes = ranked_by_md5(surfaces, "surface", "node_id").select("node_id", "surface")
+    nodes = ranked_by_md5(surfaces, "surface", "node_id", prefix_len=2).select("node_id", "surface")
     tagd = tagmod.tag_dim(spark, list(_TAG_NAMES))
     rules = spark.createDataFrame(list(_TAG_RULES), "display_name string, name string")
     entities = nodes.select(
@@ -420,5 +420,14 @@ def kg11_transcript_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch from it — without this the Arrow extraction re-runs per action
     mentions = extract.mentions_from(extract.extract(tr)).persist()
     linked, entities = link.link_mentions(mentions, link.default_alias_dict(spark), spark=spark)
+    # entities is tiny (distinct surfaces); eagerly cutting its lineage here
+    # lets the mention cache be RELEASED before return — r4 leaked it into
+    # the driver's shared 50-query session (the kg11 in-bench 2.9x mover,
+    # VERDICT r4 item 3; same failure mode as rank.py's auto-persist)
+    entities = entities.localCheckpoint(eager=True)
     edges = canonicalize.comention_edges(linked)
-    return canonicalize.canon_map(entities, edges)
+    # connected_components materializes eagerly inside canon_map, so every
+    # consumer of the mention cache has run by the time it returns
+    out = canonicalize.canon_map(entities, edges)
+    mentions.unpersist()
+    return out

@@ -156,16 +156,17 @@ def a04_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "a05_distinct_segments",
-    oracle="""
-    SELECT DISTINCT c_mktsegment, n_name
-    FROM customer JOIN nation ON n_nationkey = c_nationkey
-    """,
-)
 def a05_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 distinct over a broadcast-joined projection (reference:
-    DISTINCT wallet sets, tests/RunUpdateWallets.java:77,103)."""
+    DISTINCT wallet sets, tests/RunUpdateWallets.java:77,103).
+
+    NOT registered with the driver since r5 (50-row cap): its two shapes
+    stay driver-covered — DISTINCT by o03 (union DISTINCT), a06 (sorted
+    distinct lists), j06 (per-order distinct) and a01 (countDistinct);
+    the broadcast dim join by j02/j07 (BroadcastHashJoin asserted). Its
+    slot went to the curation layer (c01/c02,
+    plans/curation_queries.py). Pinned by an oracle-snapshot pytest
+    (tests/test_pipeline.py), the p03/a08/q06/q13 rotation pattern."""
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     return (
@@ -330,17 +331,18 @@ def j03_spent_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "j04_anti_missing",
-    oracle="""
-    SELECT c_custkey FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-    """,
-)
 def j04_anti_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 anti join (reference: missing-wallet audit `NOT IN`,
     DbQueryWallet.java:48-57). left_anti avoids materializing the non-match
-    side; Catalyst plans a broadcast/SMJ anti join."""
+    side; Catalyst plans a broadcast/SMJ anti join.
+
+    NOT registered with the driver since r5: every testdata customer has
+    an order, so the r4 row passed with 0 rows — green but vacuous
+    (VERDICT r4 items 1+5). Its slot went to the curation layer
+    (c01/c02, plans/curation_queries.py). Stays pinned by an
+    oracle-snapshot pytest that PLANTS an orphan key so the pin proves
+    the anti join discriminates (tests/test_pipeline.py), the
+    p03/a08/q06/q13 rotation pattern."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")

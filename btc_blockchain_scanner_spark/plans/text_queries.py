@@ -27,14 +27,30 @@ _D_STOPS = "['the','and','of','to','is','with','a','in','for','on','by']"
 @query(
     "t01_exact_dup_groups",
     oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0)
     SELECT md5(text) AS content_md5, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
-    FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    FROM d GROUP BY md5(text) HAVING COUNT(*) > 1
     """,
 )
 def t01_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash groupBy (single shuffle on the hash;
-    min-id winner is deterministic)."""
-    return dedup.exact_dup_groups(load(spark, sf_dir, "documents"))
+    min-id winner is deterministic).
+
+    The raw documents table has no byte-identical texts, so the r4 row
+    passed with 0 rows — green but vacuous (VERDICT r4 item 5). Both
+    sides now union in a deterministic re-keyed copy of every 50th doc
+    (doc_id + 1e6, same text), so the query must find exactly those
+    planted groups with the ORIGINAL id as keep_id — a green row now
+    proves grouping, counting and min-id selection, not just agreement
+    on an empty set."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.where(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(1_000_000)).cast("long")
+    )
+    return dedup.exact_dup_groups(d.unionByName(planted))
 
 
 @query(

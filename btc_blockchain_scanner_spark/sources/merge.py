@@ -71,6 +71,14 @@ def merge_upsert(
     Updates must be unique per key (enforced). Returns op counters
     (inserted/updated/deleted/kept) — the DbUpdate.printStats analog.
     """
+    if "://" in target_path or target_path.startswith("file:"):
+        # this sink's existence probe / atomic swap are os.path/os.rename —
+        # a URI target would read as "missing" and be overwritten from
+        # scratch (the incremental_update state-loss mode, ADVICE r4)
+        raise NotImplementedError(
+            "merge_upsert is the local-POSIX Iceberg-MERGE stand-in; URI "
+            "targets need a real Iceberg catalog (module docstring)"
+        )
     _recover_swap(target_path)
     dup = updates.groupBy(*key_cols).count().where(F.col("count") > 1).limit(1).count()
     if dup:

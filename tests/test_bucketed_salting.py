@@ -111,3 +111,17 @@ def test_salt_is_deterministic_across_parallelism(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    """right/full would emit every unmatched dim row once per salt
+    (n_salts phantom rows) — must raise, not silently multiply (ADVICE r4)."""
+    import pytest
+
+    fact = spark.createDataFrame([(1, "a")], "k int, v string")
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k int, d string")
+    for how in ("right", "full", "outer", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salting.salted_join(fact, dim, "k", n_salts=4, how=how)
+    # semi/anti stay fact-preserving and allowed
+    assert {r.k for r in salting.salted_join(fact, dim, "k", n_salts=4, how="left_semi").collect()} == {1}

@@ -209,6 +209,65 @@ def test_unregistered_tpch_queries_still_correct(spark):
     assert got13 == want13
 
 
+def test_unregistered_j04_a05_still_correct(spark):
+    """j04/a05 left the driver registry in round 5 (50-row cap; slots went
+    to the curation rows c01/c02 — VERDICT r4 items 1+5). j04's pin PLANTS
+    orphan customers (shifted keys that cannot match any order) so the
+    green assertion proves the anti join discriminates — the r4 driver row
+    passed with 0 rows, which proved only agreement on an empty set."""
+    import duckdb
+
+    from btc_blockchain_scanner_spark.plans.relational_queries import (
+        a05_distinct_segments,
+        j04_anti_missing,
+    )
+    from btc_blockchain_scanner_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("customer", "orders", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    # baseline testdata: every customer has an order → empty on BOTH sides
+    got = {r.c_custkey for r in j04_anti_missing(spark, sf).collect()}
+    want = {
+        r[0]
+        for r in con.execute(
+            "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        ).fetchall()
+    }
+    assert got == want == set()
+
+    # planted orphans: re-keyed copies of every 100th customer can't match
+    c = load(spark, sf, "customer")
+    orphans = c.where(F.col("c_custkey") % 100 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(10_000_000)
+    )
+    o = load(spark, sf, "orders")
+    planted = c.unionByName(orphans)
+    got_p = {
+        r.c_custkey
+        for r in planted.join(o, planted.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .collect()
+    }
+    want_p = {
+        r[0] + 10_000_000
+        for r in con.execute(
+            "SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0"
+        ).fetchall()
+    }
+    assert got_p == want_p and len(got_p) > 0
+
+    got5 = {(r.c_mktsegment, r.n_name) for r in a05_distinct_segments(spark, sf).collect()}
+    want5 = set(
+        con.execute(
+            "SELECT DISTINCT c_mktsegment, n_name FROM customer JOIN nation ON n_nationkey = c_nationkey"
+        ).fetchall()
+    )
+    assert got5 == want5 and len(got5) > 0
+
+
 def test_resume_from_dirty_tail(spark, tmp_path):
     """Kill mid-run (only partitions 0/1 extracted, no manifest), then resume
     → output identical to a clean full run (M4/M5, FIXTURES.md §3)."""
@@ -387,3 +446,17 @@ def test_incremental_update_deterministic_rerun(spark, tmp_path):
             for t in ("entities", "canon_map")
         }
     assert tables["a"] == tables["b"]
+
+
+def test_incremental_update_rejects_uri_state_dir(spark):
+    """ADVICE r4: a URI state_dir read as 'no existing state' by
+    os.path.isdir would silently reassign ids and overwrite batch 1 —
+    both the pipeline entry and the merge sink must refuse loudly."""
+    from btc_blockchain_scanner_spark.sources.merge import merge_upsert
+
+    tr = datagen.transcripts(spark, n_convs=2)
+    for bad in ("file:/tmp/state", "hdfs://nn/state", "s3://bucket/state"):
+        with pytest.raises(NotImplementedError):
+            pipeline.incremental_update(spark, tr, bad)
+    with pytest.raises(NotImplementedError):
+        merge_upsert(spark, "s3://bucket/entities", tr.limit(1), ["conv_id"])

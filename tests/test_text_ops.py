@@ -220,3 +220,24 @@ def test_cross_contamination_matches_bruteforce(spark, sf_dir):
     )
     assert got == want
     assert got, "fixture should contain at least one contaminated pair"
+
+
+def test_cross_contamination_broadcast_guard(spark, sf_dir):
+    """ADVICE r4: the eval-side broadcast hint must be size-GUARDED. With
+    the threshold forced to 0 the plan falls back to a shuffle join and
+    the result is identical; None skips the sizing count entirely."""
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") >= 10)
+    evalset = docs.where(F.col("doc_id") < 10)
+    want = {
+        (r.train_id, r.eval_id, r.shared_shingles)
+        for r in dedup.cross_contamination(train, evalset, n=3, min_shared=4).collect()
+    }
+    for limit in (0, None):
+        got = {
+            (r.train_id, r.eval_id, r.shared_shingles)
+            for r in dedup.cross_contamination(
+                train, evalset, n=3, min_shared=4, broadcast_max_shingles=limit
+            ).collect()
+        }
+        assert got == want
