@@ -61,6 +61,7 @@ def main() -> None:
     # and these two sections are the headline UDF throughput numbers.
     kg_stats = _kg_sections(spark, timings)
     cc_stats = _cc_at_scale_section(spark, timings) if "0.1" in SF_DIR else {}
+    inc_stats = _incremental_section(spark, timings) if "0.1" in SF_DIR else {}
 
     for name in qs:  # ALL registered queries, headline or not
         t0 = time.perf_counter()
@@ -100,7 +101,9 @@ def main() -> None:
         # r4+: entries in `queries` that are scale-evidence sections, not
         # registered queries — exclude when diffing query walls vs r3
         "evidence_sections": [
-            k for k in ("cc_distributed_5m", "kg_pipeline_e2e_100k") if k in timings
+            k
+            for k in ("cc_distributed_5m", "kg_pipeline_e2e_100k", "kg_incremental_4x5k")
+            if k in timings
         ],
         "queries": timings,
         "dedup_recall": recall_rows,
@@ -108,7 +111,18 @@ def main() -> None:
         "cpus": CPUS,
         **kg_stats,
         **cc_stats,
+        **inc_stats,
     }
+    # fold in the committed fresh-JVM-per-cell CC reclamation grid
+    # (bench_cc_scale.py; VERDICT r4 item 2) so the 10M/20M points live in
+    # BENCH_FULL.json — static measured artifact, provenance in the file
+    cc_scale_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_CC_SCALE.json"
+    )
+    if os.path.exists(cc_scale_path):
+        with open(cc_scale_path) as f:
+            record["cc_scale_grid"] = json.load(f)
+        record["cc_scale_grid"]["provenance"] = "bench_cc_scale.py, fresh JVM per cell"
     # Full record goes to a FILE; stdout gets one compact line, LAST, under
     # the driver's 2000-char stdout-tail capture (r02 lesson: the full line
     # overflowed the tail and the round's bench artifact parsed as null).
@@ -119,6 +133,8 @@ def main() -> None:
 
     compact = dict(record)
     compact.pop("dedup_recall", None)
+    compact.pop("cc_scale_grid", None)  # full grid lives in BENCH_FULL.json
+    compact.pop("incremental_batches", None)  # ditto (kg_incremental_4x5k stays)
     compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # still too big: keep headline timings only
@@ -126,6 +142,45 @@ def main() -> None:
         compact["queries_truncated_see"] = "BENCH_FULL.json"
         line = json.dumps(compact, separators=(",", ":"))
     print(line, flush=True)
+
+
+def _incremental_section(spark, timings: dict) -> dict:
+    """Per-batch incremental-update evidence, machine-readable (VERDICT r4
+    item 4: the 22.6/16.9/13.7/11.8 s series lived only in PERFORMANCE.md
+    prose). Four successive 5k-conv batches stream into ONE persisted
+    state dir via pipeline.incremental_update (the update_wallets --loop
+    body, RunUpdateWallets2.java:107-133); per-batch wall + MERGE op
+    counters land in BENCH_FULL.json so the O(batch)-not-O(corpus) claim
+    is trendable round-over-round."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from btc_blockchain_scanner_spark.kg import datagen, pipeline
+
+    n_batches, batch_convs = 4, 5000
+    tr = datagen.transcripts(
+        spark, n_convs=n_batches * batch_convs, partitions=CPUS * 2
+    ).cache()
+    tr.count()
+    state = tempfile.mkdtemp(prefix="bench_inc_")
+    batches = []
+    try:
+        for b in range(n_batches):
+            lo, hi = f"conv_{b * batch_convs:08d}", f"conv_{(b + 1) * batch_convs:08d}"
+            chunk = tr.where((F.col("conv_id") >= lo) & (F.col("conv_id") < hi))
+            t0 = _t.perf_counter()
+            stats = pipeline.incremental_update(spark, chunk, state)
+            wall = round(_t.perf_counter() - t0, 3)
+            batches.append({"batch": b + 1, "wall_sec": wall, **stats})
+        timings["kg_incremental_4x5k"] = round(sum(x["wall_sec"] for x in batches), 3)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+        tr.unpersist()
+        spark.catalog.clearCache()
+    return {"incremental_batches": batches}
 
 
 def _cc_at_scale_section(spark, timings: dict) -> dict:

@@ -39,6 +39,7 @@ def connected_components(
     eager_checkpoint: bool = True,
     small_graph_threshold: int = 100_000,
     stats_out: dict | None = None,
+    checkpoint_mode: str = "local_unpersist",
 ) -> DataFrame:
     """Compute components over an undirected edge list of long node ids.
 
@@ -62,6 +63,23 @@ def connected_components(
     ``stats_out`` (optional dict) receives run evidence: ``path``
     ("driver" | "distributed"), ``undirected_edges``, and for the
     distributed loop ``rounds``.
+
+    ``checkpoint_mode`` picks how each round's labels are materialized and
+    how the SUPERSEDED round's storage is reclaimed (the VERDICT r4 item-2
+    experiments; only consulted when ``eager_checkpoint`` is True):
+
+    * ``"local_unpersist"`` (default) — localCheckpoint, then explicitly
+      unpersist the previous round's checkpoint RDD (identified by
+      diffing the JVM's persistent-RDD registry around the checkpoint
+      call) the moment the new round is materialized. Deterministic
+      reclamation: storage per round is O(nodes), never
+      O(rounds x nodes), with no reliance on Python GC timing.
+    * ``"local"`` — r4 behavior: localCheckpoint + a gc.collect() nudge
+      and ContextCleaner reaping (kept as the measured baseline).
+    * ``"disk"`` — reliable ``DataFrame.checkpoint`` to the session's
+      checkpoint dir (a temp dir is set if absent), superseded round
+      files deleted eagerly. Trades serialization for heap headroom —
+      on a real cluster this is the HDFS-backed option.
 
     Raises RuntimeError if ``max_iter`` rounds pass without convergence —
     with pointer doubling that needs a component of diameter > 2^max_iter,
@@ -101,13 +119,68 @@ def connected_components(
 
     if stats_out is not None:
         stats_out["path"] = "distributed"
+
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+
+    def _persistent_ids() -> set[int]:
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _unpersist_by_id(rdd_id: int) -> None:
+        m = sc._jsc.getPersistentRDDs()
+        for key in m.keySet().toArray():
+            if int(key) == rdd_id:
+                m.get(key).rdd().unpersist(False)
+                return
+
+    if eager_checkpoint and checkpoint_mode == "disk":
+        import tempfile
+
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="cc_ckpt_"))
+        # resolved dir includes the session UUID subdir; strip a file: scheme
+        # for os-level listing/cleanup (local mode — on a cluster the eager
+        # cleanup would go through the Hadoop FS API instead)
+        ckpt_dir = sc._jsc.sc().getCheckpointDir().get()
+        if ckpt_dir.startswith("file:"):
+            ckpt_dir = ckpt_dir[len("file:"):]
+
+    def _round_checkpoint(df: DataFrame, state: dict) -> DataFrame:
+        """Materialize this round's labels, then reclaim the superseded
+        round's storage per checkpoint_mode."""
+        if not eager_checkpoint:
+            return df.cache()
+        if checkpoint_mode == "disk":
+            import os
+            import shutil
+
+            before = set(os.listdir(ckpt_dir)) if os.path.isdir(ckpt_dir) else set()
+            out = df.checkpoint(eager=True)
+            new_files = set(os.listdir(ckpt_dir)) - before
+            for stale in state.pop("files", set()):
+                shutil.rmtree(os.path.join(ckpt_dir, stale), ignore_errors=True)
+            state["files"] = new_files
+            return out
+        if checkpoint_mode == "local_unpersist":
+            before = _persistent_ids()
+            out = df.localCheckpoint(eager=True)
+            new_ids = _persistent_ids() - before
+            for stale in state.pop("ids", set()):
+                _unpersist_by_id(stale)
+            state["ids"] = new_ids
+            return out
+        return df.localCheckpoint(eager=True)  # "local": r4 baseline
+
+    ckpt_state: dict = {}
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
     if eager_checkpoint:
-        labels = labels.localCheckpoint(eager=True)
+        # round-0 labels are superseded by round 1 like any other round —
+        # managed through the same state so their blocks are reclaimed
+        labels = _round_checkpoint(labels, ckpt_state)
 
     converged = False
     rounds = 0
@@ -140,20 +213,23 @@ def connected_components(
             .select("node", F.coalesce(F.col("_ll"), F.col("label")).alias("label"))
         )
         if eager_checkpoint:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # materializes the round AND eagerly reclaims the superseded
+            # round's storage (mode-dependent, see docstring) — without
+            # reclamation a big graph accumulates O(rounds × nodes) dead
+            # blocks in one JVM and GC-thrashes (observed at 20M edges /
+            # 22M nodes; the r4 gc.collect() nudge only helped when the
+            # ContextCleaner happened to run — BENCH_FULL cc_scale shows
+            # the measured difference)
+            new_labels = _round_checkpoint(new_labels, ckpt_state)
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
         if cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum
-        if eager_checkpoint:
-            # superseded round checkpoints (old labels/hop blocks) are only
-            # reaped by the ContextCleaner AFTER their py4j references are
-            # collected; without this nudge a big graph accumulates
-            # O(rounds × nodes) dead blocks in one JVM and GC-thrashes
-            # (observed at 20M edges / 22M nodes) — same mechanism as the
-            # bench's between-query nudge (PERFORMANCE.md r3)
+        if eager_checkpoint and checkpoint_mode == "local":
+            # r4 baseline: best-effort Python GC nudge so the
+            # ContextCleaner can reap superseded blocks eventually
             import gc
 
             del msgs, hop, lmap, new_labels

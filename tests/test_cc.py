@@ -264,3 +264,53 @@ def test_incremental_canon_multi_batch_fold(spark):
     )
     full = canon_map(ents, all_edges)
     assert _canon_sets(canon) == _canon_sets(full)
+
+
+def test_ranked_by_md5_auto_path_leaves_no_cached_rdds(spark):
+    """ADVICE r4 / VERDICT r4 item 6: the auto-size path used to persist
+    its input with no release, leaking one cached frame per call into a
+    long-lived session. Neither the auto path nor a production-shaped
+    kg03 run may leave persistent RDDs behind."""
+    from btc_blockchain_scanner_spark.operators.rank import ranked_by_md5
+    from btc_blockchain_scanner_spark.plans.kg_queries import kg03_entity_ids
+
+    def persistent_ids() -> set:
+        jm = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jm.keySet().toArray()}
+
+    # compare ID SETS, not counts: the ContextCleaner may reap OTHER
+    # tests' stale blocks mid-test (count would flakily shrink); the
+    # assertion is that WE add nothing new
+    before = persistent_ids()
+    df = spark.createDataFrame([(f"k{i}",) for i in range(500)], "k string")
+    ranked_by_md5(df, "k", "entity_id").collect()  # auto prefix_len branch
+    kg03_entity_ids(spark, "/root/testdata/sf0.001").collect()
+    assert persistent_ids() - before == set()
+
+
+def test_cc_checkpoint_modes_identical_labels(spark):
+    """The three round-storage reclamation strategies (local_unpersist /
+    local / disk — VERDICT r4 item 2 experiments) are physical-plan
+    choices only: labels must be byte-identical, and the two eager-cleanup
+    modes must leave no superseded round blocks in the session."""
+    from pyspark.sql import functions as F
+
+    from btc_blockchain_scanner_spark.operators.cc import connected_components
+
+    # two chains + a star, forced through the distributed loop
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21), (20, 22), (20, 23)],
+        "src long, dst long",
+    )
+    want = None
+    for mode in ("local_unpersist", "local", "disk"):
+        got = {
+            (r.node, r.component)
+            for r in connected_components(
+                e, small_graph_threshold=0, checkpoint_mode=mode
+            ).collect()
+        }
+        if want is None:
+            want = got
+        assert got == want, mode
+    assert want and {c for _, c in want} == {1, 10, 20}
