@@ -19,8 +19,13 @@ CHECKS = {
     "q01_pricing_summary": ["PushedFilters", "HashAggregate"],
     "p04_range_scan": ["PushedFilters: [IsNotNull(l_orderkey), GreaterThanOrEqual(l_orderkey,1000)"],
     "j07_region_revenue": ["BroadcastHashJoin"],
-    "j04_anti_missing": ["LeftAnti"],
+    "j04_anti_missing": ["LeftAnti"],  # rotated out r5; plan shape still audited
     "j05_semi_urgent": ["LeftSemi"],
+    # decontamination: eval-side shingles broadcast under the size guard,
+    # candidates come from the shingle equi-join — never a cross join
+    "c01_decontamination": ["BroadcastHashJoin"],
+    # per-key cap: the exact window partitions by the cap key
+    "c02_source_cap_counts": ["hashpartitioning(lang"],
     "o02_top_revenue_orders": ["TakeOrderedAndProject"],
     "a02_last_ids": ["HashAggregate"],
     "t02_doc_quality": ["ReadSchema: struct<doc_id:bigint,text:string>"],
@@ -51,6 +56,10 @@ NEG_CHECKS = {
     # t05: candidate generation must never degenerate to a cross join
     # (t07 reuses this exact pair stage)
     "t05_ngram_jaccard_dups": [r"CartesianProduct"],
+    # c01 candidates must come from the shingle equi-join, never a cross
+    # join; c02's row_number must never sit on a single-partition exchange
+    "c01_decontamination": [r"CartesianProduct"],
+    "c02_source_cap_counts": [r"Exchange SinglePartition(?:(?!Exchange)[\s\S]){0,800}row_number\(\)"],
     # row-at-a-time Python would be the slow path everywhere
     "kg10_transcript_triples": [r"BatchEvalPython"],
 }
@@ -62,7 +71,11 @@ def main() -> None:
     import btc_blockchain_scanner_spark.plans as plans
 
     spark = get_spark(master="local[4]", shuffle_partitions=4, app_name="explain")
-    qs = plans.queries()
+    qs = dict(plans.queries())
+    # rotated-out-but-pinned queries keep their plan audit
+    from btc_blockchain_scanner_spark.plans.relational_queries import j04_anti_missing
+
+    qs["j04_anti_missing"] = j04_anti_missing
 
     out = ["# Physical plan audit (explain formatted)\n"]
     failures = []
