@@ -15,12 +15,29 @@ from pyspark.sql import SparkSession
 # Number of local cores the driver benchmarks with (see bench.py).
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Engine tuning shared by the local path and the spark-submit path —
+# cluster-size-agnostic settings only (resource sizing stays on the
+# submit command line / local builder).
+_TUNING = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.parquet.compression.codec": "zstd",
+    # idempotent per-partition rewrites (checkpoint/resume path, M4/M5)
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+}
+
 
 def get_spark(
     master: str | None = None,
     app_name: str = "btc_blockchain_scanner_spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    from_submit: bool = False,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for this engine.
 
@@ -28,7 +45,28 @@ def get_spark(
     1000-executor cluster run would want (AQE, adaptive coalesce + skew join,
     Arrow UDF transport). ``spark.sql.shuffle.partitions`` defaults to the
     core count — at cluster scale this is overridden to ~2-3x total cores.
+
+    ``from_submit=True`` is the spark-submit entry path (jobs/*.py via
+    ``--py-files``, the north_rule execution mode): master/deploy-mode and
+    resource sizing belong to the submit command line, so no ``.master()``
+    is set and shuffle partitioning is left to ``--conf`` unless passed
+    explicitly (Spark's 200 default stands otherwise — a cluster run
+    should size it to ~2-3x total executor cores).
     """
+    if from_submit:
+        builder = SparkSession.builder.appName(app_name)
+        if shuffle_partitions is not None:
+            builder = builder.config(
+                "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            )
+        for k, v in _TUNING.items():
+            builder = builder.config(k, v)
+        for k, v in (extra_conf or {}).items():
+            builder = builder.config(k, v)
+        spark = builder.getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        return spark
+
     master = master or f"local[{DEFAULT_CPUS}]"
     # Parallelism implied by the master string, for shuffle sizing in local mode.
     if shuffle_partitions is None:
@@ -42,19 +80,11 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.parquet.compression.codec", "zstd")
-        # idempotent per-partition rewrites (checkpoint/resume path, M4/M5)
-        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
+    for k, v in _TUNING.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
