@@ -314,3 +314,52 @@ def test_cc_checkpoint_modes_identical_labels(spark):
             want = got
         assert got == want, mode
     assert want and {c for _, c in want} == {1, 10, 20}
+
+
+def test_cc_local_unpersist_frees_superseded_rounds(spark):
+    """The default reclamation contract: after the loop, the only NEW
+    persistent RDDs are the undirected edge checkpoint and the FINAL
+    round's labels — superseded rounds were unpersisted eagerly, so live
+    storage is O(nodes), never O(rounds x nodes)."""
+    def persistent_ids():
+        jm = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jm.keySet().toArray()}
+
+    # 200-node path → several pointer-doubling rounds
+    e = spark.createDataFrame([(i, i + 1) for i in range(1, 200)], "src long, dst long")
+    before = persistent_ids()
+    st: dict = {}
+    comp = connected_components(e, small_graph_threshold=0, stats_out=st)
+    assert comp.count() == 200 and st["rounds"] >= 3
+    leaked = persistent_ids() - before
+    # und + final labels = exactly 2 live checkpoint RDDs
+    assert len(leaked) <= 2, leaked
+
+
+def test_cc_disk_mode_deletes_superseded_checkpoint_files(spark, tmp_path):
+    """Disk mode's eager file GC: at loop end the checkpoint dir holds at
+    most the final round's rdd-* dir (plus none from superseded rounds)."""
+    import os
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 200)], "src long, dst long"
+        )
+        st: dict = {}
+        comp = connected_components(
+            e, small_graph_threshold=0, stats_out=st, checkpoint_mode="disk"
+        )
+        assert comp.count() == 200 and st["rounds"] >= 3
+        resolved = spark.sparkContext._jsc.sc().getCheckpointDir().get()
+        if resolved.startswith("file:"):
+            resolved = resolved[len("file:"):]
+        left = [d for d in os.listdir(resolved) if d.startswith("rdd-")]
+        # one live rdd-* dir (the final labels); superseded rounds deleted
+        assert len(left) <= 1, left
+    finally:
+        # don't leave a checkpoint dir configured for later tests
+        # (scala setter name contains '$' — must go through getattr)
+        getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
+            spark.sparkContext._jvm.scala.Option.apply(None)
+        )
