@@ -109,6 +109,22 @@ def content_hash(text: Column) -> Column:
     return F.md5(text)
 
 
+def shingle_list(text: str | None, n: int, distinct: bool = True) -> list[str]:
+    """Pure-Python word n-gram shingles — THE single source of truth for
+    shingle semantics (lowercase, split on [^a-z0-9]+, drop empties,
+    space-joined n-grams, order-preserving distinct). Used by the Arrow
+    UDF below AND by the driver/mapper sides of the postings-GEMM dedup
+    paths (operators/dedup.py), so every path tokenizes identically."""
+    toks = [w for w in _TOKRE.split(text.lower()) if w] if text is not None else []
+    if len(toks) < n:
+        return []
+    gen = (" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+    return list(dict.fromkeys(gen)) if distinct else list(gen)
+
+
+_TOKRE = re.compile(TOKEN_SPLIT_RE)
+
+
 @lru_cache(maxsize=None)
 def _shingle_udf(n: int, distinct: bool):
     """Arrow-batched shingle UDF, one compiled instance per (n, distinct).
@@ -124,21 +140,13 @@ def _shingle_udf(n: int, distinct: bool):
     * this Arrow UDF (regex split + dict.fromkeys): 2.4 s.
 
     Token semantics are IDENTICAL to :func:`tokens` (lowercase, split on
-    [^a-z0-9]+, drop empties) so the DuckDB oracles reproduce it exactly.
+    [^a-z0-9]+, drop empties) so the DuckDB oracles reproduce it exactly
+    — the shared :func:`shingle_list` body guarantees it.
     """
-    tokre = re.compile(r"[^a-z0-9]+")
 
     @pandas_udf("array<string>")
     def udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = [w for w in tokre.split(t.lower()) if w] if t is not None else []
-            if len(toks) < n:
-                out.append([])
-            else:
-                gen = (" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
-                out.append(list(dict.fromkeys(gen)) if distinct else list(gen))
-        return pd.Series(out)
+        return pd.Series([shingle_list(t, n, distinct) for t in texts])
 
     return udf
 

@@ -109,7 +109,11 @@ def brute_force_topk(
                 out_s.extend(col[idx])
             yield pd.DataFrame({"q_id": out_q, "c_id": out_c, "cos_sim": out_s})
 
-    c = corpus.select(F.col(c_id).alias("_cid"), F.col(c_vec).alias("_cv"))
+    from .dedup import _spread
+
+    # _spread: small single-file corpora scan as ~2 splits — the GEMM
+    # stage would otherwise run on 2 cores (guide §6 / r6)
+    c = _spread(corpus.select(F.col(c_id).alias("_cid"), F.col(c_vec).alias("_cv")))
     scored = c.mapInPandas(mapper, "q_id long, c_id long, cos_sim double")
     scored = scored.where(~F.col("cos_sim").eqNullSafe(float("-inf")))
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
@@ -188,7 +192,9 @@ def _multi_table_buckets(
                 }
             )
 
-    src = df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+    from .dedup import _spread
+
+    src = _spread(df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v")))
     return src.mapInPandas(mapper, "_id long, _tbl int, _bucket long")
 
 

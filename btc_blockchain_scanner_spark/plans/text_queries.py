@@ -223,15 +223,13 @@ def t07_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cc import connected_components
 
     docs = load(spark, sf_dir, "documents")
-    sh = dedup.shingle_docs(docs, n=3).persist()
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, sh=sh)
+    # r6: no shared shingle frame / persist needed — the pair stage's
+    # GEMM path collects the bounded corpus once into its broadcast
+    # closure (dedup.ngram_jaccard_pairs), so nothing is cached in the
+    # session and the join fallback still persists internally at scale.
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    # connected_components materializes eagerly (edge-list checkpoint +
-    # driver union-find / per-round checkpoints), so the shingle frame can
-    # be released before returning — no persist leaks into the driver's
-    # shared 50-query session (the t06 hygiene rule).
     comp = connected_components(edges, "src", "dst")
-    sh.unpersist()
     return comp.select(F.col("node").alias("doc_id"), F.col("component").alias("keep_id"))
 
 
