@@ -241,3 +241,55 @@ def test_cross_contamination_broadcast_guard(spark, sf_dir):
             ).collect()
         }
         assert got == want
+
+
+def test_gemm_and_join_paths_agree(spark):
+    """r6: ngram_jaccard_pairs grew a postings-GEMM plan (closure-broadcast
+    numpy counting) next to the shared-shingle join plan. Same contract,
+    two physical plans — pin exact pair-set AND value parity on a corpus
+    with near-dups, transitive chains, boilerplate hubs and short docs,
+    at a permissive threshold so many pairs qualify."""
+    boiler = "common shared preamble text that every single document carries along"
+    rows = [
+        (i, f"{boiler} item {i % 7} alpha beta gamma delta epsilon word{i % 3}")
+        for i in range(30)
+    ] + [(100, "tiny doc here"), (101, "tiny doc here"), (102, "unrelated standalone content piece")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for cap in (None, 5):
+        gemm = {
+            (r.id_a, r.id_b, round(r.jacc, 12))
+            for r in dedup.ngram_jaccard_pairs(
+                d, threshold=0.2, max_shingle_freq=cap
+            ).collect()
+        }
+        join = {
+            (r.id_a, r.id_b, round(r.jacc, 12))
+            for r in dedup.ngram_jaccard_pairs(
+                d, threshold=0.2, max_shingle_freq=cap, gemm_max_incidences=0
+            ).collect()
+        }
+        assert gemm == join, (cap, gemm ^ join)
+        assert gemm  # non-vacuous: the fixture must actually produce pairs
+
+
+def test_cross_contamination_gemm_and_join_agree(spark):
+    """Same two-plan parity pin for cross_contamination: the eval-postings
+    GEMM stream (broadcast_max_shingles generous) vs the exploded shingle
+    join (broadcast_max_shingles=None skips the GEMM eligibility)."""
+    boiler = "shared benchmark sentence fragment appearing in train and eval splits"
+    rows = [(i, f"{boiler} filler {i % 5} more filler tokens {i % 2}") for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    train = d.where(F.col("doc_id") % 4 != 0)
+    evalset = d.where(F.col("doc_id") % 4 == 0)
+    gemm = {
+        (r.train_id, r.eval_id, r.shared_shingles)
+        for r in dedup.cross_contamination(train, evalset, n=3, min_shared=3).collect()
+    }
+    join = {
+        (r.train_id, r.eval_id, r.shared_shingles)
+        for r in dedup.cross_contamination(
+            train, evalset, n=3, min_shared=3, broadcast_max_shingles=None
+        ).collect()
+    }
+    assert gemm == join
+    assert gemm  # non-vacuous
