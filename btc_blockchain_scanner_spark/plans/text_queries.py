@@ -290,36 +290,65 @@ def t06_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # included since q ⊂ emb_s) ONE persisted bucket-signature frame at
     # 12×3 — the expensive first stages run once, not per family or per
     # self-join side (VERDICT r3 item 4).
+    #
+    # r6 scheduling: every family is a short independent job on a 2000-doc
+    # subset, so the query's wall was ~13 sequential job latencies
+    # (~0.5-4 s each). Materialization now OVERLAPS independent jobs from
+    # a small thread pool (guide §2.6 — actions are only sequential
+    # because the driver calls them sequentially); each family keeps its
+    # OWN action, so this is NOT the one-big-DAG collect that measured
+    # ~35% slower in r3 (worker churn inside a single DAG) — the r6 A/B:
+    # 28.6 s sequential → ~13 s overlapped at sf1.0. Two waves keep the
+    # shared frames materialized before their dependents probe them.
+    from concurrent.futures import ThreadPoolExecutor
+
     sh3 = dedup.shingle_docs(docs_s, n=3).persist()
     sigs = dedup.simhash_signatures(docs_s).persist()
     eb = similarity._multi_table_buckets(
         emb_s.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")),
         "_id", "_v", num_tables=12, planes_per_table=3, dim=64,
     ).persist()
+    q = emb.where(F.col("vec_id") < 50)
+
     # every pair set is consumed twice (its own count + the match semi-join)
     # and some are expensive O(n²) baselines — persist them all; everything
-    # is unpersisted after the 5 result rows materialize below.
-    jacc_exact = (
-        dedup.ngram_jaccard_pairs(docs_s, n=3, threshold=0.5, sh=sh3).select("id_a", "id_b").persist()
-    )
-    minhash = dedup.minhash_lsh_pairs(
-        docs_s, n=3, num_perm=32, num_bands=8, threshold=0.5, sh=sh3
-    ).persist()
-    winnow = dedup.winnow_dup_pairs(docs_s, k=5, window=4, min_shared=3).persist()
-    sim_exact = dedup.simhash_pairs_exact(docs_s, max_hamming=3, sigs=sigs).persist()
-    sim_band = dedup.simhash_dup_pairs(docs_s, max_hamming=3, sigs=sigs).persist()
-    emb_exact = dedup.embedding_dup_pairs(emb_s, threshold=0.35, exact=True).persist()
-    emb_lsh = dedup.embedding_dup_pairs(
-        emb_s, threshold=0.35, num_tables=12, planes_per_table=3, buckets=eb
-    ).persist()
-    q = emb.where(F.col("vec_id") < 50)
-    top_exact = similarity.brute_force_topk(q, emb_s, k=1).select("q_id", "c_id").persist()
-    # 12 tables x 3 planes: P(candidate) = 1-(1-p^3)^12 >= 0.94 even at the
-    # weak top-1 cosines of this corpus (~0.3-0.5 → p ~0.6) — measured 0.96
-    top_lsh = similarity.lsh_topk(
-        q, emb_s, k=1, num_tables=12, planes_per_table=3,
-        corpus_buckets=eb, query_buckets=eb.where(F.col("_id") < 50),
-    ).select("q_id", "c_id").persist()
+    # is unpersisted after the 6 result rows materialize below. Builders
+    # run INSIDE the pool: some construct eagerly (the GEMM jacc path
+    # collects its closure at build time).
+    def _eager(df):
+        df.count()
+        return df
+
+    wave2_builders = {
+        # 12 tables x 3 planes: P(candidate) = 1-(1-p^3)^12 >= 0.94 even at
+        # the weak top-1 cosines of this corpus (~0.3-0.5 → p ~0.6) — 0.96
+        "jacc_exact": lambda: _eager(
+            dedup.ngram_jaccard_pairs(docs_s, n=3, threshold=0.5, sh=sh3)
+            .select("id_a", "id_b").persist()
+        ),
+        "minhash": lambda: _eager(
+            dedup.minhash_lsh_pairs(
+                docs_s, n=3, num_perm=32, num_bands=8, threshold=0.5, sh=sh3
+            ).persist()
+        ),
+        "sim_exact": lambda: _eager(
+            dedup.simhash_pairs_exact(docs_s, max_hamming=3, sigs=sigs).persist()
+        ),
+        "sim_band": lambda: _eager(
+            dedup.simhash_dup_pairs(docs_s, max_hamming=3, sigs=sigs).persist()
+        ),
+        "emb_lsh": lambda: _eager(
+            dedup.embedding_dup_pairs(
+                emb_s, threshold=0.35, num_tables=12, planes_per_table=3, buckets=eb
+            ).persist()
+        ),
+        "top_lsh": lambda: _eager(
+            similarity.lsh_topk(
+                q, emb_s, k=1, num_tables=12, planes_per_table=3,
+                corpus_buckets=eb, query_buckets=eb.where(F.col("_id") < 50),
+            ).select("q_id", "c_id").persist()
+        ),
+    }
     # IVF probes 10/16 inverted lists: this corpus is deliberately weakly
     # clustered (background cosines near-orthogonal), so recall comes from
     # probe breadth, not cluster structure — 8 probes measured 0.88, 10
@@ -327,18 +356,35 @@ def t06_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on a genuinely clustered corpus 4 probes already exceed 0.95,
     # tests/test_text_ops.py::test_ivf_recall_on_clustered_corpus; LSH is
     # the data-oblivious alternative for corpora like this one).
-    top_ivf = similarity.ivf_topk(q, emb_s, k=1, n_centroids=16, n_probe=10).select(
-        "q_id", "c_id"
-    ).persist()
-
-    # materialize every persisted family EAGERLY, one action each: a single
-    # big-bang collect interleaves ten Python-UDF pipelines in one DAG and
-    # measured ~35% slower than the same stages run isolated (76 s vs 56 s
-    # at sf0.1) — local-mode worker churn, same mechanism as the bench's
-    # clearCache ordering note.
-    for fam in (sh3, sigs, eb, jacc_exact, minhash, winnow, sim_exact, sim_band,
-                emb_exact, emb_lsh, top_exact, top_lsh, top_ivf):
-        fam.count()
+    wave1_builders = {
+        "sh3": lambda: _eager(sh3),
+        "sigs": lambda: _eager(sigs),
+        "eb": lambda: _eager(eb),
+        "winnow": lambda: _eager(
+            dedup.winnow_dup_pairs(docs_s, k=5, window=4, min_shared=3).persist()
+        ),
+        "emb_exact": lambda: _eager(
+            dedup.embedding_dup_pairs(emb_s, threshold=0.35, exact=True).persist()
+        ),
+        "top_exact": lambda: _eager(
+            similarity.brute_force_topk(q, emb_s, k=1).select("q_id", "c_id").persist()
+        ),
+        "top_ivf": lambda: _eager(
+            similarity.ivf_topk(q, emb_s, k=1, n_centroids=16, n_probe=10)
+            .select("q_id", "c_id").persist()
+        ),
+    }
+    fams: dict = {}
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for name, df in zip(wave1_builders, pool.map(lambda b: b(), wave1_builders.values())):
+            fams[name] = df
+        for name, df in zip(wave2_builders, pool.map(lambda b: b(), wave2_builders.values())):
+            fams[name] = df
+    sh3, sigs, eb = fams["sh3"], fams["sigs"], fams["eb"]
+    jacc_exact, minhash, winnow = fams["jacc_exact"], fams["minhash"], fams["winnow"]
+    sim_exact, sim_band = fams["sim_exact"], fams["sim_band"]
+    emb_exact, emb_lsh = fams["emb_exact"], fams["emb_lsh"]
+    top_exact, top_lsh, top_ivf = fams["top_exact"], fams["top_lsh"], fams["top_ivf"]
 
     pk = ["id_a", "id_b"]
     out = (
