@@ -96,8 +96,6 @@ def run(
         triples = extract.triples_from(extracted).withColumn(
             "partition_key", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_parts)).cast("string")
         )
-        _write_partitioned(mentions, mentions_path)
-        _write_partitioned(triples, triples_path)
         # F4 sparse-flags side table (input_special analog): rows exist ONLY
         # for non-default mentions; readers re-attach via
         # extract.with_flag_defaults (coalesced defaults). Computed from the
@@ -105,7 +103,23 @@ def run(
         flags = extract.mention_flags_from_extracted(extracted).withColumn(
             "partition_key", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_parts)).cast("string")
         )
-        _write_partitioned(flags, f"{out_dir}/mention_flags")
+        # The three sink jobs all branch off the SAME persisted extraction
+        # and write to disjoint paths — overlap them from a small thread
+        # pool (guide §2.6: actions are only sequential because the driver
+        # calls them sequentially); each write keeps its own job.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(
+                pool.map(
+                    lambda t: _write_partitioned(*t),
+                    [
+                        (mentions, mentions_path),
+                        (triples, triples_path),
+                        (flags, f"{out_dir}/mention_flags"),
+                    ],
+                )
+            )
 
         if fail_after_extract_partitions is not None:
             extracted.unpersist()
@@ -160,8 +174,17 @@ def run(
 
     nodes = materialize.build_nodes(entities, canon)
     edges = materialize.build_edges(linked_triples)
-    nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
-    edges.write.mode("overwrite").parquet(f"{out_dir}/edges")
+    # independent sink jobs → overlapped (same §2.6 move as the
+    # extraction-side writes above)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                lambda t: t[0].write.mode("overwrite").parquet(t[1]),
+                [(nodes, f"{out_dir}/nodes"), (edges, f"{out_dir}/edges")],
+            )
+        )
 
     # lineage totals come from the manifest (no recompute of the input);
     # table counts are cheap parquet-footer scans.

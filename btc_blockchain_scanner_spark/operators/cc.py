@@ -265,7 +265,12 @@ def pair_edges_from_groups(df: DataFrame, group_col: str, member_col: str) -> Da
     the whole hub group inside ONE task, which is exactly the hub-wallet
     hot spot this operator exists to avoid — VERDICT r02 item 5.)
     """
-    d = df.select(group_col, member_col).distinct()
+    # No input-side distinct: the final star-edge distinct dedups
+    # everything anyway (duplicate (group, member) incidences collapse to
+    # the same (gmin, member) edge), so a pre-distinct was a full extra
+    # shuffle of the incidence list for nothing (r6; guide §2.4 "a
+    # distinct on data that is already deduplicated downstream").
+    d = df.select(group_col, member_col)
     gmin = d.groupBy(group_col).agg(F.min(member_col).alias("_gmin"))
     starred = d.join(gmin, group_col).where(F.col(member_col) != F.col("_gmin"))
     return starred.select(

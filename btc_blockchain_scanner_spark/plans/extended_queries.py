@@ -109,7 +109,9 @@ def g01_bfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = pair_edges_from_groups(li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey")
     sources = spark.createDataFrame([(0,), (1,)], "node long")
-    return graph.bfs_reachable(edges, sources, max_hops=3)
+    # edges_distinct: pair_edges_from_groups output is already dedup'd —
+    # skips a full shuffle of the 9M-row undirected edge list (r6)
+    return graph.bfs_reachable(edges, sources, max_hops=3, edges_distinct=True)
 
 
 _MM_N = 200  # asset count is sf-independent; oracle path must match

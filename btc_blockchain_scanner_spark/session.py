@@ -29,6 +29,16 @@ _TUNING = {
     "spark.sql.parquet.compression.codec": "zstd",
     # idempotent per-partition rewrites (checkpoint/resume path, M4/M5)
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Scan-split sizing (guide §6): the 4 MB default openCostInBytes models
+    # HDFS open/seek latency and pads SMALL single-file tables into 1-2
+    # splits — at sf1.0 the 5.7 MB documents/embeddings tables scanned on
+    # 2 of 32 cores, serializing every downstream Python/regex stage. On
+    # local/NVMe storage (and object stores with range reads) 512 KB is
+    # the more accurate open-cost estimate; env-overridable for deployments
+    # where file opens really are expensive.
+    "spark.sql.files.openCostInBytes": os.environ.get(
+        "SPARK_GRAFT_OPEN_COST", str(512 * 1024)
+    ),
 }
 
 
@@ -80,7 +90,11 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM is also every executor — 8g left the
+        # block manager (localCheckpoint rounds, DF caches) competing with
+        # execution memory across a 50-query session on a 128 GiB box; env-
+        # overridable for smaller hosts (r6; guide §5)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in _TUNING.items():
