@@ -101,16 +101,27 @@ def grid() -> None:
     ]
     results = []
     for mode, m in cells:
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), mode, str(m), str(CPUS)],
-            capture_output=True, text=True, timeout=1800,
-        )
+        # ADVICE r5: one hung/failed cell must not abort the grid or drop
+        # completed cells from the saved JSON — record an error entry and
+        # keep going; the file is always written.
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), mode, str(m), str(CPUS)],
+                capture_output=True, text=True, timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            err = {"mode": mode, "edges": m, "error": "timeout after 1800s"}
+            results.append(err)
+            print(json.dumps(err), flush=True)
+            continue
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
         if line:
             results.append(json.loads(line[-1]))
             print(line[-1], flush=True)
         else:
-            print(json.dumps({"mode": mode, "edges": m, "error": p.stderr[-400:]}), flush=True)
+            err = {"mode": mode, "edges": m, "error": p.stderr[-400:]}
+            results.append(err)
+            print(json.dumps(err), flush=True)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_CC_SCALE.json"), "w") as f:
         json.dump({"cells": results, "cpus": CPUS, "note": "fresh JVM per cell"}, f, indent=1)
 

@@ -85,6 +85,14 @@ def connected_components(
     with pointer doubling that needs a component of diameter > 2^max_iter,
     i.e. it only fires on a genuine bug, never silently mislabels.
     """
+    if checkpoint_mode not in ("local_unpersist", "local", "disk"):
+        # ADVICE r5: an unrecognized mode used to silently fall through to
+        # plain localCheckpoint with NO reclamation — worse than either
+        # documented mode. Same guard shape as salted_join's `how`.
+        raise ValueError(
+            f"connected_components: unknown checkpoint_mode {checkpoint_mode!r}; "
+            "expected 'local_unpersist', 'local' or 'disk'"
+        )
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
     )

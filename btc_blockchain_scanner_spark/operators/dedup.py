@@ -716,6 +716,9 @@ def embedding_dup_pairs(
         mn = np.linalg.norm(M, axis=1)
         thr = float(threshold)
 
+        MT = np.ascontiguousarray(M.T)
+        mn_safe = np.where(mn == 0, np.inf, mn)
+
         def mapper(batches):
             import pandas as pd
 
@@ -725,16 +728,39 @@ def embedding_dup_pairs(
                 C = np.array(list(pdf["_v"]), dtype=np.float64)
                 cids = pdf["_id"].to_numpy()
                 cn = np.linalg.norm(C, axis=1)
-                # zero-norm guard: inf divisor → cos 0, which cleanly fails
-                # the threshold instead of producing NaN (NaN >= t is False
-                # in numpy but poisons any later ordering).
-                S = (C @ M.T) / np.outer(
-                    np.where(cn == 0, np.inf, cn), np.where(mn == 0, np.inf, mn)
-                )
-                mask = (S >= thr) & (cids[:, None] < ids[None, :])
-                ai, bj = np.nonzero(mask)
-                yield pd.DataFrame(
-                    {"id_a": cids[ai], "id_b": ids[bj], "cos_sim": S[ai, bj]}
+                cn_safe = np.where(cn == 0, np.inf, cn)
+                # corpus-axis chunking: a full C @ M.T block was ~100 MB of
+                # float64 per task (x32 concurrent tasks = GBs of transient
+                # allocations — measured as in-bench drag); 2048-column
+                # chunks stay cache-resident (r6). zero-norm guard: inf
+                # divisor → cos 0, which cleanly fails the threshold
+                # instead of producing NaN (NaN >= t is False in numpy but
+                # poisons any later ordering).
+                CHUNK = 2048
+                outs = []
+                for c0 in range(0, MT.shape[1], CHUNK):
+                    S = (C @ MT[:, c0 : c0 + CHUNK]) / np.outer(
+                        cn_safe, mn_safe[c0 : c0 + CHUNK]
+                    )
+                    mask = (S >= thr) & (cids[:, None] < ids[None, c0 : c0 + CHUNK])
+                    ai, bj = np.nonzero(mask)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": cids[ai],
+                                "id_b": ids[c0 + bj],
+                                "cos_sim": S[ai, bj],
+                            }
+                        )
+                    )
+                yield (
+                    pd.concat(outs)
+                    if outs
+                    else pd.DataFrame(
+                        {"id_a": pd.Series(dtype="int64"),
+                         "id_b": pd.Series(dtype="int64"),
+                         "cos_sim": pd.Series(dtype="float64")}
+                    )
                 )
 
         # _spread: the sf1.0 embeddings table scans as 2 splits — without

@@ -57,7 +57,11 @@ def main(argv: list[str] | None = None) -> None:
     from btc_blockchain_scanner_spark.session import get_spark
 
     spark = get_spark(app_name="kg_pipeline", from_submit=True)
-    if args.synth_convs:
+    if args.synth_convs is not None:
+        # ADVICE r5: `if args.synth_convs:` treated --synth-convs 0 as
+        # "read from --input" and crashed on input=None
+        if args.synth_convs <= 0:
+            raise SystemExit("--synth-convs must be a positive integer")
         transcripts = datagen.transcripts(spark, n_convs=args.synth_convs, seed=args.seed)
     else:
         transcripts = spark.read.parquet(args.input)

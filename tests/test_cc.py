@@ -363,3 +363,11 @@ def test_cc_disk_mode_deletes_superseded_checkpoint_files(spark, tmp_path):
         getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
             spark.sparkContext._jvm.scala.Option.apply(None)
         )
+
+
+def test_invalid_checkpoint_mode_raises(spark):
+    import pytest as _pytest
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="checkpoint_mode"):
+        connected_components(e, small_graph_threshold=0, checkpoint_mode="Disk")
