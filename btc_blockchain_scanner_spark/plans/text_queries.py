@@ -375,7 +375,7 @@ def t06_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     }
     fams: dict = {}
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=6) as pool:
         for name, df in zip(wave1_builders, pool.map(lambda b: b(), wave1_builders.values())):
             fams[name] = df
         for name, df in zip(wave2_builders, pool.map(lambda b: b(), wave2_builders.values())):
