@@ -35,8 +35,14 @@ def comention_edges(linked_mentions: DataFrame) -> DataFrame:
 
 def canon_map(entities: DataFrame, edges: DataFrame) -> DataFrame:
     """(entity_id, canon_id): component-min label for connected entities,
-    self for singletons. Deterministic at any parallelism."""
-    comp = connected_components(edges, "src", "dst")
+    self for singletons. Deterministic at any parallelism.
+
+    Contract: ``edges`` is deduplicated with src < dst (what
+    :func:`comention_edges` emits — star edges from the group min), so CC
+    skips its undirect-distinct shuffle. A caller violating it only loses
+    that optimization: duplicate undirected edges are harmless to both CC
+    paths (min-label and union-find are idempotent)."""
+    comp = connected_components(edges, "src", "dst", edges_distinct=True)
     return (
         entities.select(F.col("entity_id"))
         .join(comp, entities.entity_id == comp.node, "left")

@@ -124,7 +124,11 @@ class Manifest:
                 "triples_emitted",
                 F.current_timestamp().alias("updated_at"),
             )
-            .repartition("partition_key")
+            # counters has exactly one row per partition_key by contract —
+            # a keyed repartition here shuffled ~n_parts rows into
+            # shuffle.partitions tasks (mostly empty) before an 8-file
+            # write; one task writes the whole tiny table faster (r6)
+            .coalesce(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("partition_key")

@@ -40,6 +40,7 @@ def connected_components(
     small_graph_threshold: int = 100_000,
     stats_out: dict | None = None,
     checkpoint_mode: str = "local_unpersist",
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Compute components over an undirected edge list of long node ids.
 
@@ -97,7 +98,13 @@ def connected_components(
         F.col("a") != F.col("b")
     )
     # Undirect + dedup once; at scale this is one shuffle we never repeat.
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # ``edges_distinct=True`` asserts the input is already deduplicated
+    # with a canonical orientation (src < dst — star edges, sorted pair
+    # lists): the union of the two orientations is then itself distinct
+    # and the shuffle is skipped (r6; guide §2.4).
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    if not edges_distinct:
+        und = und.distinct()
     und = und.localCheckpoint(eager=eager_checkpoint) if eager_checkpoint else und.cache()
 
     n_und = und.count() if (small_graph_threshold or stats_out is not None) else None

@@ -229,7 +229,9 @@ def t07_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session and the join fallback still persists internally at scale.
     pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    comp = connected_components(edges, "src", "dst")
+    # pair sets are unique with id_a < id_b — CC can skip its
+    # undirect-distinct shuffle (r6)
+    comp = connected_components(edges, "src", "dst", edges_distinct=True)
     return comp.select(F.col("node").alias("doc_id"), F.col("component").alias("keep_id"))
 
 
