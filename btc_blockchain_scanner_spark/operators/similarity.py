@@ -109,11 +109,16 @@ def brute_force_topk(
                 out_s.extend(col[idx])
             yield pd.DataFrame({"q_id": out_q, "c_id": out_c, "cos_sim": out_s})
 
-    from .dedup import _spread
-
     # _spread: small single-file corpora scan as ~2 splits — the GEMM
-    # stage would otherwise run on 2 cores (guide §6 / r6)
-    c = _spread(corpus.select(F.col(c_id).alias("_cid"), F.col(c_vec).alias("_cv")))
+    # stage would otherwise run on 2 cores (guide §6 / r6). Only worth its
+    # repartition when the per-corpus-row work is non-trivial: the query
+    # side is already collected, so gate on |Q| (at 50 queries the whole
+    # GEMM is ~64M flops and the shuffle would cost more than it saves).
+    c = corpus.select(F.col(c_id).alias("_cid"), F.col(c_vec).alias("_cv"))
+    if len(qrows) >= 512:
+        from .dedup import _spread
+
+        c = _spread(c)
     scored = c.mapInPandas(mapper, "q_id long, c_id long, cos_sim double")
     scored = scored.where(~F.col("cos_sim").eqNullSafe(float("-inf")))
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
