@@ -90,7 +90,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_freq: int | None = 1000,
     sh: DataFrame | None = None,
-    gemm_max_incidences: int = 8_000_000,
+    gemm_max_incidences: int = 32_000_000,
 ) -> DataFrame:
     """(id_a, id_b, jacc) for pairs with word-n-gram Jaccard >= threshold.
 
@@ -100,7 +100,9 @@ def ngram_jaccard_pairs(
       ``gemm_max_incidences`` (doc, shingle) incidences): the shingle
       frame is collected ONCE, factorized to dense column codes on the
       driver (string-exact — no hashing, no collision modes), and the
-      postings closure (~16 bytes/incidence) is broadcast; tasks then
+      postings closure (~12 bytes/incidence + ~20/doc; ~400 MB per
+      Python worker at the 32M default — size the budget to worker
+      memory on smaller hosts) is broadcast; tasks then
       count their doc block's overlaps against the whole corpus with
       cache-resident numpy gathers — the §8-guide "decide with small
       rows" move, and the same size-guarded closure-broadcast pattern as
