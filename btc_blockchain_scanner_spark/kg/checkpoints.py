@@ -127,8 +127,14 @@ class Manifest:
             # counters has exactly one row per partition_key by contract —
             # a keyed repartition here shuffled ~n_parts rows into
             # shuffle.partitions tasks (mostly empty) before an 8-file
-            # write; one task writes the whole tiny table faster (r6)
-            .coalesce(1)
+            # write; one task writes the whole tiny table faster. NOT
+            # coalesce(1): coalesce back-propagates through the narrow
+            # join into the createDataFrame pending-key frame, so ONE task
+            # evaluates all ~32 Python-side input partitions SEQUENTIALLY
+            # (~125 ms of Python-worker round-trip each ≈ 4 s measured for
+            # an 8-row write); repartition(1) keeps the upstream parallel
+            # and shuffles 8 rows (0.5 s measured — r6, guide §2.3).
+            .repartition(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("partition_key")

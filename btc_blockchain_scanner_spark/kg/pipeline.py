@@ -152,8 +152,10 @@ def run(
     triples_all = spark.read.parquet(triples_path)
 
     linked_mentions, entities = link.link_mentions(mentions_all, alias_dict, spark=spark)
-    entities.write.mode("overwrite").parquet(f"{out_dir}/entities")
-    entities = spark.read.parquet(f"{out_dir}/entities")
+    # Materialize entities ONCE (was write-then-re-read — the same lineage
+    # cut, but the checkpoint lets the state write below overlap the canon
+    # computation instead of serializing in front of it; r6, guide §2.6).
+    entities = entities.localCheckpoint(eager=True)
 
     surface_to_id = linked_mentions.select("surface", "entity_id").distinct()
     linked_triples = (
@@ -168,23 +170,37 @@ def run(
     )
 
     edges_sim = canonicalize.comention_edges(linked_mentions)
-    canon = canonicalize.canon_map(entities, edges_sim)
-    canon.write.mode("overwrite").parquet(f"{out_dir}/canon_map")
-    canon = spark.read.parquet(f"{out_dir}/canon_map")
-
-    nodes = materialize.build_nodes(entities, canon)
     edges = materialize.build_edges(linked_triples)
-    # independent sink jobs → overlapped (same §2.6 move as the
-    # extraction-side writes above)
+    # Three independent pieces of work (guide §2.6): the entities state
+    # write, the edges sink (depends only on linked triples), and the canon
+    # computation (CC materializes eagerly inside canon_map). The write
+    # jobs never persist RDDs, so they cannot disturb CC's checkpoint
+    # bookkeeping; canon's own localCheckpoint runs on this thread after
+    # canon_map returns (CC already done).
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        list(
-            pool.map(
-                lambda t: t[0].write.mode("overwrite").parquet(t[1]),
-                [(nodes, f"{out_dir}/nodes"), (edges, f"{out_dir}/edges")],
-            )
+        f_ent = pool.submit(
+            lambda: entities.write.mode("overwrite").parquet(f"{out_dir}/entities")
         )
+        f_edg = pool.submit(
+            lambda: edges.write.mode("overwrite").parquet(f"{out_dir}/edges")
+        )
+        canon = canonicalize.canon_map(entities, edges_sim).localCheckpoint(eager=True)
+        f_ent.result()
+        f_edg.result()
+
+    nodes = materialize.build_nodes(entities, canon)
+    # canon state write ∥ nodes sink (nodes needs canon, so it waited)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_can = pool.submit(
+            lambda: canon.write.mode("overwrite").parquet(f"{out_dir}/canon_map")
+        )
+        f_nod = pool.submit(
+            lambda: nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
+        )
+        f_can.result()
+        f_nod.result()
 
     # lineage totals come from the manifest (no recompute of the input);
     # table counts are cheap parquet-footer scans.
@@ -271,7 +287,15 @@ def incremental_update(
     # swap the very parquet dirs these plans read from — a lazy plan
     # evaluated after the first swap would chase deleted files
     entities = entities.localCheckpoint(eager=True)
-    edges = canonmod.comention_edges(linked)
+    # The batch edge list is consumed TWICE: connected_components
+    # materializes it (via the contracted graph) and the incremental
+    # update's new-node pass re-derives endpoints from it — without a
+    # persist the whole mention→star-edge chain (groupBy-min + join +
+    # distinct over the batch mentions) recomputes per consumer (~2 s per
+    # 5k-conv batch measured; r6, guide §2.6 "pay for a stage once").
+    # Materialized lazily at CC's first action, released after the canon
+    # checkpoint below.
+    edges = canonmod.comention_edges(linked).persist()
 
     if os.path.isdir(canon_path):
         canon = canonmod.incremental_canon_update(spark.read.parquet(canon_path), edges)
@@ -288,10 +312,17 @@ def incremental_update(
             F.coalesce(F.col("canon_id"), F.col("entity_id")).cast("int").alias("canon_id"),
         )
     ).localCheckpoint(eager=True)  # same swap-safety as entities above
+    edges.unpersist()
 
-    stats = {
-        "entities": merge_upsert(spark, ents_path, entities, ["entity_id"]),
-        "canon_map": merge_upsert(spark, canon_path, canon, ["entity_id"]),
-    }
+    # Both state frames are fully materialized (localCheckpoint above), so
+    # neither merge holds a lazy reference to the other's target dir — the
+    # two upserts touch disjoint paths and can overlap (guide §2.6; ~0.7 s
+    # of the smaller merge's job latency hidden per batch, measured r6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_ents = pool.submit(merge_upsert, spark, ents_path, entities, ["entity_id"])
+        f_canon = pool.submit(merge_upsert, spark, canon_path, canon, ["entity_id"])
+        stats = {"entities": f_ents.result(), "canon_map": f_canon.result()}
     extracted.unpersist()
     return stats
