@@ -321,36 +321,15 @@ def t06_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.count()
         return df
 
-    wave2_builders = {
-        # 12 tables x 3 planes: P(candidate) = 1-(1-p^3)^12 >= 0.94 even at
-        # the weak top-1 cosines of this corpus (~0.3-0.5 → p ~0.6) — 0.96
-        "jacc_exact": lambda: _eager(
-            dedup.ngram_jaccard_pairs(docs_s, n=3, threshold=0.5, sh=sh3)
-            .select("id_a", "id_b").persist()
-        ),
-        "minhash": lambda: _eager(
-            dedup.minhash_lsh_pairs(
-                docs_s, n=3, num_perm=32, num_bands=8, threshold=0.5, sh=sh3
-            ).persist()
-        ),
-        "sim_exact": lambda: _eager(
-            dedup.simhash_pairs_exact(docs_s, max_hamming=3, sigs=sigs).persist()
-        ),
-        "sim_band": lambda: _eager(
-            dedup.simhash_dup_pairs(docs_s, max_hamming=3, sigs=sigs).persist()
-        ),
-        "emb_lsh": lambda: _eager(
-            dedup.embedding_dup_pairs(
-                emb_s, threshold=0.35, num_tables=12, planes_per_table=3, buckets=eb
-            ).persist()
-        ),
-        "top_lsh": lambda: _eager(
-            similarity.lsh_topk(
-                q, emb_s, k=1, num_tables=12, planes_per_table=3,
-                corpus_buckets=eb, query_buckets=eb.where(F.col("_id") < 50),
-            ).select("q_id", "c_id").persist()
-        ),
-    }
+    def _after(fut, build):
+        # dependency chain: materialize the SHARED frame first, then build
+        # the dependent family — the frame's blocks are probed, never
+        # concurrently recomputed
+        fut.result()
+        return build()
+
+    # 12 tables x 3 planes: P(candidate) = 1-(1-p^3)^12 >= 0.94 even at
+    # the weak top-1 cosines of this corpus (~0.3-0.5 → p ~0.6) — 0.96.
     # IVF probes 10/16 inverted lists: this corpus is deliberately weakly
     # clustered (background cosines near-orthogonal), so recall comes from
     # probe breadth, not cluster structure — 8 probes measured 0.88, 10
@@ -358,31 +337,61 @@ def t06_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on a genuinely clustered corpus 4 probes already exceed 0.95,
     # tests/test_text_ops.py::test_ivf_recall_on_clustered_corpus; LSH is
     # the data-oblivious alternative for corpora like this one).
-    wave1_builders = {
-        "sh3": lambda: _eager(sh3),
-        "sigs": lambda: _eager(sigs),
-        "eb": lambda: _eager(eb),
-        "winnow": lambda: _eager(
-            dedup.winnow_dup_pairs(docs_s, k=5, window=4, min_shared=3).persist()
-        ),
-        "emb_exact": lambda: _eager(
-            dedup.embedding_dup_pairs(emb_s, threshold=0.35, exact=True).persist()
-        ),
-        "top_exact": lambda: _eager(
-            similarity.brute_force_topk(q, emb_s, k=1).select("q_id", "c_id").persist()
-        ),
-        "top_ivf": lambda: _eager(
-            similarity.ivf_topk(q, emb_s, k=1, n_centroids=16, n_probe=10)
-            .select("q_id", "c_id").persist()
-        ),
-    }
+    #
+    # r6 scheduling, refined: instead of two barrier waves (dependents
+    # waited for ALL of wave 1 — including the O(n²) exact baselines no
+    # family depends on), each dependent chains on the ONE shared-frame
+    # future it needs. 13 workers ≥ 13 tasks, so every task holds a worker
+    # immediately and the blocked `_after` tasks cannot deadlock the pool.
     fams: dict = {}
-    with ThreadPoolExecutor(max_workers=6) as pool:
-        for name, df in zip(wave1_builders, pool.map(lambda b: b(), wave1_builders.values())):
-            fams[name] = df
-        for name, df in zip(wave2_builders, pool.map(lambda b: b(), wave2_builders.values())):
-            fams[name] = df
-    sh3, sigs, eb = fams["sh3"], fams["sigs"], fams["eb"]
+    with ThreadPoolExecutor(max_workers=13) as pool:
+        f_sh3 = pool.submit(_eager, sh3)
+        f_sigs = pool.submit(_eager, sigs)
+        f_eb = pool.submit(_eager, eb)
+        futs = {
+            "winnow": pool.submit(lambda: _eager(
+                dedup.winnow_dup_pairs(docs_s, k=5, window=4, min_shared=3).persist()
+            )),
+            "emb_exact": pool.submit(lambda: _eager(
+                dedup.embedding_dup_pairs(emb_s, threshold=0.35, exact=True).persist()
+            )),
+            "top_exact": pool.submit(lambda: _eager(
+                similarity.brute_force_topk(q, emb_s, k=1).select("q_id", "c_id").persist()
+            )),
+            "top_ivf": pool.submit(lambda: _eager(
+                similarity.ivf_topk(q, emb_s, k=1, n_centroids=16, n_probe=10)
+                .select("q_id", "c_id").persist()
+            )),
+            "jacc_exact": pool.submit(_after, f_sh3, lambda: _eager(
+                dedup.ngram_jaccard_pairs(docs_s, n=3, threshold=0.5, sh=sh3)
+                .select("id_a", "id_b").persist()
+            )),
+            "minhash": pool.submit(_after, f_sh3, lambda: _eager(
+                dedup.minhash_lsh_pairs(
+                    docs_s, n=3, num_perm=32, num_bands=8, threshold=0.5, sh=sh3
+                ).persist()
+            )),
+            "sim_exact": pool.submit(_after, f_sigs, lambda: _eager(
+                dedup.simhash_pairs_exact(docs_s, max_hamming=3, sigs=sigs).persist()
+            )),
+            "sim_band": pool.submit(_after, f_sigs, lambda: _eager(
+                dedup.simhash_dup_pairs(docs_s, max_hamming=3, sigs=sigs).persist()
+            )),
+            "emb_lsh": pool.submit(_after, f_eb, lambda: _eager(
+                dedup.embedding_dup_pairs(
+                    emb_s, threshold=0.35, num_tables=12, planes_per_table=3, buckets=eb
+                ).persist()
+            )),
+            "top_lsh": pool.submit(_after, f_eb, lambda: _eager(
+                similarity.lsh_topk(
+                    q, emb_s, k=1, num_tables=12, planes_per_table=3,
+                    corpus_buckets=eb, query_buckets=eb.where(F.col("_id") < 50),
+                ).select("q_id", "c_id").persist()
+            )),
+        }
+        sh3, sigs, eb = f_sh3.result(), f_sigs.result(), f_eb.result()
+        for name, f in futs.items():
+            fams[name] = f.result()
     jacc_exact, minhash, winnow = fams["jacc_exact"], fams["minhash"], fams["winnow"]
     sim_exact, sim_band = fams["sim_exact"], fams["sim_band"]
     emb_exact, emb_lsh = fams["emb_exact"], fams["emb_lsh"]
