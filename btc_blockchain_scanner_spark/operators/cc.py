@@ -187,15 +187,12 @@ def connected_components(
         return df.localCheckpoint(eager=True)  # "local": r4 baseline
 
     ckpt_state: dict = {}
-    labels = (
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
-    if eager_checkpoint:
-        # round-0 labels are superseded by round 1 like any other round —
-        # managed through the same state so their blocks are reclaimed
-        labels = _round_checkpoint(labels, ckpt_state)
+    # No materialized round-0 labels: the identity label map makes round 1's
+    # hop computable straight from the edge list (see the fusion below), so
+    # the node-set distinct (a full shuffle of the undirected list) and the
+    # round-0 checkpoint are both skipped (r6; guide §2.3 "shuffle fewer
+    # bytes", §2.4 "remove shuffles outright").
+    labels = None
 
     converged = False
     rounds = 0
@@ -210,15 +207,28 @@ def connected_components(
     for _ in range(max_iter):
         rounds += 1
         # 1) candidate labels arriving over edges (one hop)
-        msgs = (
-            und.join(labels, und.a == labels.node)
-            .select(F.col("b").alias("node"), F.col("label"))
-        )
-        hop = (
-            msgs.unionByName(labels.select("node", "label"))
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
+        if labels is None:
+            # Round-1 fusion: with identity labels, min(self ∪ neighbor
+            # labels) per node is ONE map-side-combined aggregate over the
+            # undirected edges — min(a, min(b)) grouped by a. Every node
+            # appears on the `a` side of the both-orientations list, so
+            # this covers the node set exactly; round 1's edges ⋈ labels
+            # shuffle join disappears along with the labels-init distinct.
+            hop = (
+                und.groupBy("a")
+                .agg(F.least(F.col("a"), F.min("b")).alias("label"))
+                .select(F.col("a").alias("node"), "label")
+            )
+        else:
+            msgs = (
+                und.join(labels, und.a == labels.node)
+                .select(F.col("b").alias("node"), F.col("label"))
+            )
+            hop = (
+                msgs.unionByName(labels.select("node", "label"))
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
         # 2) pointer doubling: label ← label(label). Every label IS a node id
         # present in the map (labels are mins over existing node ids), so the
         # lookup always hits; coalesce guards the impossible miss.
@@ -247,7 +257,7 @@ def connected_components(
             # ContextCleaner can reap superseded blocks eventually
             import gc
 
-            del msgs, hop, lmap, new_labels
+            del hop, lmap, new_labels  # (round 1 has no msgs frame)
             gc.collect()
 
     if not converged:
