@@ -107,10 +107,27 @@ def connected_components(
         und = und.distinct()
     und = und.localCheckpoint(eager=eager_checkpoint) if eager_checkpoint else und.cache()
 
-    n_und = und.count() if (small_graph_threshold or stats_out is not None) else None
-    if stats_out is not None and n_und is not None:
+    # Size probe + driver collect in ONE bounded job (r6): the old
+    # count-then-collect pair ran two full passes over the undirected list
+    # on the COMMON path (every bench/gate entity graph). A
+    # limit(cap+1).collect() makes the identical threshold decision — it
+    # returns every row iff there are <= cap — while bounding driver bytes
+    # exactly like the old collect did, and CollectLimit's early-exit
+    # partition scan makes the over-threshold probe cheap (it reads the
+    # already-checkpointed blocks). Union-find with merge-into-min is
+    # edge-ORDER-independent (the merged root is min(rootA, rootB), so by
+    # induction the final root is the component min under any order), and
+    # the old collect's row order was partition-arbitrary anyway.
+    rows_small = None
+    if small_graph_threshold:
+        cap = 2 * small_graph_threshold
+        probe = und.limit(cap + 1).collect()
+        if len(probe) <= cap:
+            rows_small = probe
+    if stats_out is not None:
+        n_und = len(rows_small) if rows_small is not None else und.count()
         stats_out["undirected_edges"] = n_und // 2
-    if small_graph_threshold and n_und <= 2 * small_graph_threshold:
+    if rows_small is not None:
         if stats_out is not None:
             stats_out["path"] = "driver"
         spark = edges.sparkSession
@@ -124,7 +141,7 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in und.collect():
+        for row in rows_small:
             a, b = find(int(row[0])), find(int(row[1]))
             if a != b:
                 parent[max(a, b)] = min(a, b)
